@@ -1,0 +1,93 @@
+"""Whole-capture RX pipelines gluing the demod stages together.
+
+`rx_batch` mirrors the reference's batch mode (opv-demod.cpp:1127-1216): one
+CFO estimate, one demodulate pass over the full capture, sync scan, frame
+decode.  Everything after sample load is one jit-compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opv_tpu.config import CONFIG
+from opv_tpu.rx.cfo import estimate_cfo
+from opv_tpu.rx.demod import LoopState, demodulate_block, loop_state_init, max_symbols
+from opv_tpu.rx.frame_decoder import decode_payloads
+from opv_tpu.rx.sync import (
+    SyncTrackerState, extract_payload_windows, sync_correlate, sync_scan,
+    sync_tracker_init,
+)
+
+
+def rx_block(samples: jnp.ndarray, n_valid, lstate: LoopState,
+             tstate: SyncTrackerState, hist: jnp.ndarray,
+             max_frames: int, afc_alpha=None):
+    """Demod + sync + decode one fixed-capacity block of IQ.
+
+    hist: (2144,) soft-symbol history from the previous block (zeros at
+    stream start).  Returns a dict of fixed-shape results + updated carries.
+    """
+    eb = CONFIG.encoded_bits
+    soft, sym_valid, lstate2, used = demodulate_block(
+        samples, n_valid, lstate, afc_alpha=afc_alpha)
+    v = sym_valid.sum().astype(jnp.int32)
+    soft_cat = jnp.concatenate([hist, soft])
+    raw, norm = sync_correlate(soft_cat[eb - (CONFIG.sync_bits - 1):])
+    tstate2, ready, q = sync_scan(tstate, raw, norm, sym_valid)
+    payloads, qs, slot_valid, t_idx = extract_payload_windows(
+        soft_cat, ready, q, max_frames)
+    frames, metrics, ok = decode_payloads(payloads)
+    hist2 = jax.lax.dynamic_slice(soft_cat, (v,), (eb,))
+    return dict(
+        frames=frames, metrics=metrics, frame_valid=ok & slot_valid,
+        sync_q=qs, t_idx=t_idx, n_symbols=v, samples_used=used,
+        soft=soft, sym_valid=sym_valid,
+    ), lstate2, tstate2, hist2
+
+
+@functools.partial(jax.jit, static_argnames=("max_frames", "estimate", "dtype"))
+def _rx_batch_jit(samples, init_offset, max_frames, estimate, dtype, afc_alpha):
+    rdtype = jnp.float64 if dtype == "float64" else jnp.float32
+    if estimate:
+        offset = estimate_cfo(samples).astype(rdtype)
+    else:
+        offset = jnp.asarray(init_offset, rdtype)
+    lstate = loop_state_init(offset, dtype=rdtype)
+    tstate = sync_tracker_init(dtype=rdtype)
+    hist = jnp.zeros(CONFIG.encoded_bits, rdtype)
+    n = jnp.int32(samples.shape[0])
+    out, lstate2, tstate2, _ = rx_block(
+        samples, n, lstate, tstate, hist, max_frames, afc_alpha=afc_alpha)
+    out["freq_offset"] = lstate2.freq_offset
+    out["est_offset"] = offset
+    out["tracker_state"] = tstate2.state
+    return out
+
+
+def rx_batch(samples: np.ndarray, init_offset: float | None = None,
+             afc_alpha: float = CONFIG.afc_alpha, dtype: str = "float64"):
+    """Batch-demodulate a whole capture (reference batch mode).
+
+    samples: (N,) complex.  If init_offset is None the coarse CFO grid search
+    runs first (opv-demod.cpp:1166).  Returns the rx_block result dict with
+    only valid frame slots retained (host-side post-filter).
+    """
+    n = len(samples)
+    cdtype = np.complex128 if dtype == "float64" else np.complex64
+    samples = jnp.asarray(np.asarray(samples, dtype=cdtype))
+    max_frames = max_symbols(n) // CONFIG.frame_symbols + 2
+    out = _rx_batch_jit(samples,
+                        0.0 if init_offset is None else float(init_offset),
+                        max_frames, init_offset is None, dtype,
+                        float(afc_alpha))
+    out = {k: np.asarray(v) for k, v in out.items()}
+    keep = out["frame_valid"]
+    for k in ("frames", "metrics", "sync_q", "t_idx"):
+        out[k] = out[k][keep]
+    out["decoded"] = int(keep.sum())
+    out["perfect"] = int((out["metrics"] == 0).sum())
+    return out

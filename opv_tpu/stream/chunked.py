@@ -1,0 +1,150 @@
+"""Streaming demodulator: chunked processing with state carryover.
+
+Mirrors the reference's streaming mode (opv-demod.cpp:995-1125): IQ arrives
+incrementally; whenever one frame's worth of samples (86,720) is buffered, a
+chunk is processed; unconsumed tail samples (timing-recovery continuity) stay
+at the head of the next chunk; the first chunk triggers the coarse CFO
+estimate; a final partial chunk is flushed at EOF.
+
+TPU shape: the per-chunk compute is ONE jit-compiled program of fixed static
+shapes (capacity-padded buffer + valid count), compiled once and reused for
+every chunk including the final partial one.  All carries live in a
+serializable pytree (see stream/state.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opv_tpu.config import CONFIG
+from opv_tpu.rx.cfo import estimate_cfo
+from opv_tpu.rx.demod import loop_state_init, max_symbols
+from opv_tpu.rx.pipeline import rx_block
+from opv_tpu.rx.sync import sync_tracker_init
+
+
+class StreamingDemodulator:
+    """Incremental sample-stream -> decoded-frame-stream demodulator."""
+
+    def __init__(self, init_offset: float | None = None,
+                 afc_alpha: float = CONFIG.afc_alpha, dtype: str = "float64",
+                 chunk_samples: int | None = None):
+        self.chunk = chunk_samples or CONFIG.chunk_samples
+        self.cap = self.chunk          # buffer is always <= one chunk
+        self.rdtype = np.float64 if dtype == "float64" else np.float32
+        self.cdtype = np.complex128 if dtype == "float64" else np.complex64
+        self.afc_alpha = float(afc_alpha)
+        self.max_frames = max_symbols(self.cap) // CONFIG.frame_symbols + 2
+
+        self._buf = np.zeros(self.cap, dtype=self.cdtype)
+        self._count = 0
+        self._first = True
+        self._init_offset = init_offset
+
+        self.lstate = loop_state_init(0.0, dtype=jnp.dtype(self.rdtype))
+        self.tstate = sync_tracker_init(dtype=jnp.dtype(self.rdtype))
+        self.hist = jnp.zeros(CONFIG.encoded_bits, self.rdtype)
+
+        self.total_samples = 0
+        self.total_symbols = 0
+        self.decoded = 0
+        self.perfect = 0
+        self.est_offset = None
+
+        mf = self.max_frames
+        aa = self.afc_alpha
+
+        @jax.jit
+        def _chunk_fn(samples, n_valid, lstate, tstate, hist):
+            return rx_block(samples, n_valid, lstate, tstate, hist, mf, afc_alpha=aa)
+
+        self._chunk_fn = _chunk_fn
+        self._cfo_fn = jax.jit(estimate_cfo)
+
+    # -- public API ---------------------------------------------------------
+
+    def feed(self, samples: np.ndarray):
+        """Feed complex samples; yields (frame_bytes, metric, sync_q, sym_idx)
+        for every decoded frame."""
+        samples = np.asarray(samples, dtype=self.cdtype)
+        off = 0
+        results = []
+        while off < len(samples):
+            take = min(self.chunk - self._count, len(samples) - off)
+            self._buf[self._count:self._count + take] = samples[off:off + take]
+            self._count += take
+            off += take
+            if self._count >= self.chunk:
+                results.extend(self._process(self._count))
+        return results
+
+    def flush(self):
+        """Process any buffered tail (EOF), like opv-demod.cpp:1088-1113."""
+        if self._count > 0:
+            return self._process(self._count)
+        return []
+
+    def state_tree(self):
+        return dict(lstate=self.lstate, tstate=self.tstate, hist=self.hist)
+
+    # -- internals ----------------------------------------------------------
+
+    def _process(self, n_valid: int):
+        if self._first:
+            if self._init_offset is None:
+                est = float(self._cfo_fn(jnp.asarray(self._buf[:],)))
+                # reference estimates on the full first chunk
+            else:
+                est = float(self._init_offset)
+            self.est_offset = est
+            self.lstate = self.lstate._replace(
+                freq_offset=jnp.asarray(est, self.rdtype))
+            self._first = False
+
+        out, self.lstate, self.tstate, self.hist = self._chunk_fn(
+            jnp.asarray(self._buf), jnp.int32(n_valid),
+            self.lstate, self.tstate, self.hist)
+
+        used = int(out["samples_used"])
+        nsym = int(out["n_symbols"])
+        self.total_samples += n_valid
+        base_sym = self.total_symbols
+        self.total_symbols += nsym
+
+        frames = np.asarray(out["frames"])
+        metrics = np.asarray(out["metrics"])
+        valid = np.asarray(out["frame_valid"])
+        qs = np.asarray(out["sync_q"])
+        t_idx = np.asarray(out["t_idx"])
+
+        results = []
+        for i in np.argsort(t_idx):
+            if valid[i]:
+                self.decoded += 1
+                if metrics[i] == 0:
+                    self.perfect += 1
+                results.append((bytes(frames[i]), int(metrics[i]),
+                                float(qs[i]), base_sym + int(t_idx[i])))
+
+        # keep unconsumed tail for timing continuity (opv-demod.cpp:1069-1077)
+        leftover = n_valid - used
+        if 0 < leftover < n_valid:
+            self._buf[:leftover] = self._buf[used:n_valid]
+            self._count = leftover
+        else:
+            self._count = 0
+        return results
+
+    @property
+    def freq_offset(self) -> float:
+        return float(self.lstate.freq_offset)
+
+    @property
+    def timing_freq(self) -> float:
+        return float(self.lstate.timing_freq)
+
+    @property
+    def sync_state(self) -> str:
+        return ["HUNTING", "VERIFYING", "LOCKED"][int(self.tstate.state)]
