@@ -1,0 +1,171 @@
+"""opv-demod — OPV MSK demodulator CLI, flag-compatible with the reference
+binary (src/opv-demod.cpp:943-1217).
+
+Options:
+  -q        quiet
+  -r        raw 134-byte frames to stdout
+  -s        streaming mode (chunked, for live SDR input)
+  -c        coherent mode (Costas loop) — experimental, mirrors the
+            reference's non-functional coherent path; a warning is printed
+  -a BW     AFC bandwidth (default 0.001)
+  -o HZ     initial frequency offset (skips the coarse estimate)
+  -p HZ     PLL bandwidth (coherent only; accepted for compat)
+  --fast    feed-forward batched TPU pipeline instead of the
+            reference-parity tracking loop (batch mode only)
+  --device  jax platform (default cpu)
+
+Exit code 0 iff at least one frame decoded (opv-demod.cpp:1124, 1216).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="opv-demod", add_help=False)
+    ap.add_argument("-q", dest="quiet", action="store_true")
+    ap.add_argument("-r", dest="raw", action="store_true")
+    ap.add_argument("-s", dest="streaming", action="store_true")
+    ap.add_argument("-c", dest="coherent", action="store_true")
+    ap.add_argument("-a", dest="afc_bw", type=float, default=0.001)
+    ap.add_argument("-p", dest="pll_bw", type=float, default=50.0)
+    ap.add_argument("-o", dest="init_offset", type=float, default=None)
+    ap.add_argument("-h", action="store_true", dest="help")
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--device", default="cpu")
+    args = ap.parse_args(argv)
+
+    if args.help:
+        print(__doc__, file=sys.stderr)
+        return 0
+
+    from opv_tpu.cli._platform import setup_platform
+    setup_platform(args.device, x64=not args.fast)
+
+    import numpy as np
+    from opv_tpu.config import CONFIG
+    from opv_tpu.io.iq import iq_bytes_to_complex
+    from opv_tpu.utils.display import banner, print_frame, status_line, summary
+
+    err = sys.stderr
+    if not args.quiet:
+        if args.coherent:
+            banner("OPV MSK Demodulator with Costas Loop v1.0 (coherent)")
+        elif args.streaming:
+            banner("OPV MSK Demodulator with AFC v1.0 (streaming)")
+        else:
+            banner("OPV MSK Demodulator with AFC v1.0")
+    if args.coherent:
+        print("Note: coherent mode is experimental (non-functional in the "
+              "reference implementation, SURVEY.md C12); results will be poor.",
+              file=err)
+
+    stdin = sys.stdin.buffer
+    stdout = sys.stdout.buffer
+
+    def emit_frame(i, fb, metric, q):
+        if not args.quiet:
+            print_frame(i, fb, metric, q)
+        if args.raw:
+            stdout.write(fb)
+            stdout.flush()
+
+    # =====================================================================
+    # STREAMING MODE
+    # =====================================================================
+    if args.streaming:
+        from opv_tpu.stream import StreamingDemodulator
+        if not args.quiet:
+            print("Streaming mode: processing data as it arrives...\n", file=err)
+            if args.init_offset is not None:
+                print(f"Initial frequency offset: {args.init_offset:.1f} Hz", file=err)
+
+        # NB: the reference ignores -c in streaming mode (opv-demod.cpp:999
+        # always instantiates the non-coherent AFC demod); match that.
+        sd = StreamingDemodulator(init_offset=args.init_offset,
+                                  afc_alpha=args.afc_bw)
+        read_chunk = 65536 * 4
+        printed_offset = args.init_offset is not None
+        last_status = 0.0
+        while True:
+            buf = stdin.read(read_chunk)
+            if not buf:
+                break
+            for fb, metric, q, _idx in sd.feed(iq_bytes_to_complex(buf)):
+                emit_frame(sd.decoded, fb, metric, q)
+            if not printed_offset and sd.est_offset is not None:
+                if not args.quiet:
+                    print(f"Estimated carrier offset: {sd.est_offset:.1f} Hz\n",
+                          file=err)
+                printed_offset = True
+            secs = sd.total_samples / CONFIG.sample_rate
+            if not args.quiet and secs - last_status >= 5.0:
+                status_line(secs, sd.total_symbols, sd.decoded, sd.perfect,
+                            sd.freq_offset, sd.timing_freq)
+                last_status = secs
+        for fb, metric, q, _idx in sd.flush():
+            emit_frame(sd.decoded, fb, metric, q)
+
+        if not args.quiet:
+            summary(sd.decoded, sd.perfect,
+                    sd.total_samples / CONFIG.sample_rate, sd.total_symbols,
+                    sd.sync_state, sd.freq_offset)
+        return 0 if sd.decoded > 0 else 1
+
+    # =====================================================================
+    # BATCH MODE
+    # =====================================================================
+    samples = iq_bytes_to_complex(stdin.read())
+    if not args.quiet:
+        print(f"Loaded {len(samples)} samples ({len(samples) / CONFIG.sample_rate:.3f} sec)",
+              file=err)
+    if len(samples) == 0:
+        return 1
+
+    if args.fast:
+        from opv_tpu.rx.fast import rx_fast
+        import jax.numpy as jnp
+        mf = max(8, len(samples) // CONFIG.samples_per_frame + 2)
+        out = rx_fast(jnp.asarray(samples.astype(np.complex64))[None, :],
+                      max_frames=mf)
+        valid = np.asarray(out["frame_valid"])[0]
+        frames = np.asarray(out["frames"])[0][valid]
+        metrics = np.asarray(out["metrics"])[0][valid]
+        qs = np.asarray(out["sync_q"])[0][valid]
+        order = np.argsort(np.asarray(out["starts"])[0][valid])
+        decoded = perfect = 0
+        for i in order:
+            decoded += 1
+            perfect += int(metrics[i] == 0)
+            emit_frame(decoded, bytes(frames[i]), int(metrics[i]), float(qs[i]))
+        if not args.quiet:
+            summary(decoded, perfect, len(samples) / CONFIG.sample_rate,
+                    len(samples) // CONFIG.samples_per_symbol, "-",
+                    float(np.asarray(out["freq_offset"])[0]))
+        return 0 if decoded > 0 else 1
+
+    from opv_tpu.rx.pipeline import rx_batch
+    out = rx_batch(samples, init_offset=args.init_offset,
+                   afc_alpha=args.afc_bw, coherent=args.coherent,
+                   pll_bw=args.pll_bw)
+    if not args.quiet:
+        print(f"Estimated carrier offset: {float(out['est_offset']):.1f} Hz", file=err)
+        print(f"Demodulated {int(out['n_symbols'])} symbols, final AFC offset: "
+              f"{float(out['freq_offset']):.1f} Hz\n", file=err)
+    decoded = perfect = 0
+    for fb, metric, q in zip(out["frames"], out["metrics"], out["sync_q"]):
+        decoded += 1
+        perfect += int(metric == 0)
+        emit_frame(decoded, bytes(fb), int(metric), float(q))
+    state_names = ["HUNTING", "VERIFYING", "LOCKED"]
+    if not args.quiet:
+        summary(decoded, perfect, len(samples) / CONFIG.sample_rate,
+                int(out["n_symbols"]), state_names[int(out["tracker_state"])],
+                float(out["freq_offset"]))
+    return 0 if decoded > 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

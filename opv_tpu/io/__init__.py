@@ -1,0 +1,3 @@
+from opv_tpu.io.iq import iq_bytes_to_complex, complex_to_iq_bytes, int16_pairs_to_complex
+
+__all__ = ["iq_bytes_to_complex", "complex_to_iq_bytes", "int16_pairs_to_complex"]

@@ -1,0 +1,34 @@
+"""Sample I/O: the int16 IQ wire format.
+
+Wire format per the reference (opv-mod.cpp:53, 304-309; README.md:205):
+interleaved little-endian int16 (I, Q) pairs, full scale 16383.
+
+NumPy-vectorized here; a C-extension fast path (opv_tpu/runtime) replaces
+these on hot streaming paths when built.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def iq_bytes_to_complex(buf: bytes | bytearray | memoryview,
+                        dtype=np.complex128) -> np.ndarray:
+    """Interleaved int16 LE bytes -> (N,) complex samples (I + jQ)."""
+    a = np.frombuffer(buf, dtype="<i2")
+    a = a[: (len(a) // 2) * 2].reshape(-1, 2)
+    return (a[:, 0].astype(np.float64) + 1j * a[:, 1].astype(np.float64)).astype(dtype)
+
+
+def int16_pairs_to_complex(iq: np.ndarray, dtype=np.complex128) -> np.ndarray:
+    """(N, 2) int16 -> (N,) complex."""
+    return (iq[:, 0].astype(np.float64) + 1j * iq[:, 1].astype(np.float64)).astype(dtype)
+
+
+def complex_to_iq_bytes(samples: np.ndarray) -> bytes:
+    """(N,) complex (already scaled to int16 range) -> wire bytes.
+    Truncates toward zero like the reference's static_cast<int16_t>."""
+    out = np.empty((len(samples), 2), dtype="<i2")
+    out[:, 0] = np.trunc(samples.real).astype(np.int16)
+    out[:, 1] = np.trunc(samples.imag).astype(np.int16)
+    return out.tobytes()

@@ -43,6 +43,47 @@ def _grid_energies(sym_mat: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.abs(corr) ** 2, axis=(0, 2))              # (O,)
 
 
+def estimate_cfo_batch(samples: jnp.ndarray) -> jnp.ndarray:
+    """Natively batched CFO estimate: (C, N) complex -> (C,) Hz.
+
+    Same grids and selection rules as estimate_cfo, written with explicit
+    batch axes (channel-sharded matmuls) rather than vmap — this is the
+    production multichannel path (and avoids a vmap-of-gather pattern the
+    axon TPU backend cannot lower).
+    """
+    sps = CONFIG.samples_per_symbol
+    c, n = samples.shape
+    nsym = min(n, sps * CONFIG.cfo_max_symbols) // sps
+    sym = samples[:, : nsym * sps].reshape(c, nsym, sps)
+
+    def energies(offsets):
+        """offsets (C, O) -> (C, O) total correlation energy."""
+        freqs = jnp.stack([-CONFIG.freq_dev + offsets,
+                           CONFIG.freq_dev + offsets], axis=-1)   # (C, O, 2)
+        incs = (_TWO_PI / CONFIG.sample_rate) * freqs
+        i = jnp.arange(sps, dtype=incs.dtype)
+        e = jnp.exp(-1j * incs[..., None] * i).astype(samples.dtype)  # (C,O,2,40)
+        corr = jnp.einsum("csi,coti->csot", sym, e)
+        p = corr.real ** 2 + corr.imag ** 2
+        return p.sum(axis=(1, 3))                                  # (C, O)
+
+    span, step = CONFIG.cfo_coarse_span_hz, CONFIG.cfo_coarse_step_hz
+    coarse = jnp.broadcast_to(jnp.arange(-span, span + step / 2, step),
+                              (c, int(2 * span / step) + 1))
+    e_c = energies(coarse)
+    ci = jnp.argmax(e_c, axis=-1)
+    coarse_best = jnp.take_along_axis(coarse, ci[:, None], axis=-1)[:, 0]
+    coarse_e = jnp.take_along_axis(e_c, ci[:, None], axis=-1)[:, 0]
+
+    fspan, fstep = CONFIG.cfo_fine_span_hz, CONFIG.cfo_fine_step_hz
+    fine = coarse_best[:, None] + jnp.arange(-fspan, fspan + fstep / 2, fstep)
+    e_f = energies(fine)
+    fi = jnp.argmax(e_f, axis=-1)
+    fine_best = jnp.take_along_axis(fine, fi[:, None], axis=-1)[:, 0]
+    fine_e = jnp.take_along_axis(e_f, fi[:, None], axis=-1)[:, 0]
+    return jnp.where(fine_e > coarse_e, fine_best, coarse_best)
+
+
 def estimate_cfo(samples: jnp.ndarray) -> jnp.ndarray:
     """Estimate carrier offset in Hz from a block of IQ samples.
 

@@ -1,0 +1,201 @@
+"""Feed-forward multichannel RX pipeline — the TPU production path.
+
+The reference demodulates one channel with per-symbol feedback loops (AFC +
+early-late TED), which is sample-serial by construction.  This module is the
+TPU-first redesign for the production use case (many concurrent channels from
+locked-clock SDR front-ends; the tracking-loop path in rx/demod.py remains
+the reference-parity / drifting-clock fallback):
+
+* **Dense correlator bank as convolutions**: the integrate-and-dump
+  correlation of both tone LOs is computed at EVERY sample offset as a
+  40-tap convolution (4 real convs) — this subsumes symbol-timing search
+  entirely; there is no timing loop and no separate phase estimator.
+
+* **Dilated sync correlation**: the 24-symbol sync pattern is correlated
+  against the dense soft stream with a stride-40 dilated conv, giving a
+  normalized sync metric at every sample position.  Frame starts are local
+  maxima over a +-half-symbol window above the reference's hunting
+  thresholds (0.85 norm / 5000 raw, opv-demod.cpp:783-786).
+
+* **Feed-forward CFO**: the reference's coarse+fine grid (rx/cfo.py) per
+  channel, batched over channels as one matmul per stage.
+
+* **Strided payload gather + batched Viterbi** over all (channel, frame)
+  payloads at once.
+
+Everything is fixed-shape and jit-compiles once per (channels, block_len)
+geometry.  Decodes the reference's own captures bit-exactly at arbitrary
+sample alignment (tests/test_fast.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opv_tpu.config import CONFIG
+from opv_tpu.rx.frame_decoder import decode_payloads
+from opv_tpu.rx.sync import sync_pattern
+
+_TWO_PI = 2.0 * math.pi
+_SPS = CONFIG.samples_per_symbol
+_SB = CONFIG.sync_bits
+_EB = CONFIG.encoded_bits
+
+
+def _tone_kernels(freq_offset: jnp.ndarray) -> jnp.ndarray:
+    """(C,) Hz -> (C, 4, 2, 40) conv kernels computing the complex
+    correlation of both tones as 4 real outputs (re1, im1, re2, im2) from 2
+    real inputs (I, Q).
+
+    corr_t[n] = sum_i s[n+i] * conj(lo_t[i]),  lo_t[i] = exp(j inc_t i):
+      re = sr*lr + si*li,  im = si*lr - sr*li.
+    """
+    freqs = jnp.stack([-CONFIG.freq_dev + freq_offset,
+                       CONFIG.freq_dev + freq_offset], axis=-1)   # (C, 2)
+    incs = (_TWO_PI / CONFIG.sample_rate) * freqs
+    i = jnp.arange(_SPS, dtype=incs.dtype)
+    ph = incs[..., None] * i                                      # (C, 2, 40)
+    lr, li = jnp.cos(ph), jnp.sin(ph)
+    z = jnp.zeros_like(lr)
+    # rows: outputs; cols: input channel (I=sr, Q=si)
+    k = jnp.stack([
+        jnp.stack([lr[:, 0], li[:, 0]], axis=1),     # re1
+        jnp.stack([-li[:, 0], lr[:, 0]], axis=1),    # im1
+        jnp.stack([lr[:, 1], li[:, 1]], axis=1),     # re2
+        jnp.stack([-li[:, 1], lr[:, 1]], axis=1),    # im2
+    ], axis=1)                                       # (C, 4, 2, 40)
+    return k
+
+
+def dense_soft(samples: jnp.ndarray, freq_offset: jnp.ndarray) -> jnp.ndarray:
+    """(C, N) complex IQ -> (C, N-39) soft decision at every sample offset.
+
+    soft[n] = |corr_f2[n]|^2 - |corr_f1[n]|^2 — the reference's non-coherent
+    metric (opv-demod.cpp:264-268), densely evaluated.
+    """
+    c = samples.shape[0]
+    x = jnp.stack([samples.real, samples.imag], axis=1)           # (C, 2, N)
+    k = _tone_kernels(freq_offset.astype(samples.real.dtype))
+    # per-channel kernels: use batch-grouped conv via vmap over channels
+    def one(xc, kc):
+        return jax.lax.conv_general_dilated(
+            xc[None], kc, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"))[0]           # (4, N-39)
+    y = jax.vmap(one)(x, k)                                       # (C, 4, M)
+    p1 = y[:, 0] ** 2 + y[:, 1] ** 2
+    p2 = y[:, 2] ** 2 + y[:, 3] ** 2
+    return p2 - p1
+
+
+def dense_sync(soft: jnp.ndarray):
+    """Dilated 24-tap sync correlation at every sample position.
+
+    soft: (C, M).  Returns (raw, norm) of shape (C, M - 23*40): the sync
+    metric for a window of 24 soft symbols spaced 40 samples apart starting
+    at each position.
+    """
+    pat = jnp.asarray(sync_pattern(), soft.dtype)[None, None, :]   # (1,1,24)
+    x = soft[:, None, :]
+    raw = jax.lax.conv_general_dilated(
+        x, pat, window_strides=(1,), padding="VALID",
+        rhs_dilation=(_SPS,), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
+    ones = jnp.ones_like(pat)
+    energy = jax.lax.conv_general_dilated(
+        jnp.abs(x), ones, window_strides=(1,), padding="VALID",
+        rhs_dilation=(_SPS,), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
+    norm = jnp.where(energy < CONFIG.sync_min_energy, 0.0,
+                     raw / jnp.where(energy > 0, energy, 1.0))
+    return raw, norm
+
+
+def detect_frames(raw: jnp.ndarray, norm: jnp.ndarray, m_soft: int,
+                  max_frames: int):
+    """Find frame sync positions: threshold + local max over +-SPS/2.
+
+    Returns (starts (C, F) int32 sample index of the first payload soft
+    value, valid (C, F), quality (C, F)).  A sync window starting at sample
+    n has its payload starting at n + 24*40.
+    """
+    m = norm.shape[-1]
+    hit = (norm >= CONFIG.sync_hunt_norm_thresh) & \
+          (raw >= CONFIG.sync_hunt_raw_thresh)
+    # normalized corr saturates at 1.0 over a plateau around true alignment;
+    # the RAW correlation peaks sharply at the exact sample — select on raw
+    wmax = jax.lax.reduce_window(
+        raw, -jnp.inf, jax.lax.max, (1, _SPS + 1), (1, 1), "SAME")
+    prev = jnp.pad(raw, [(0, 0), (1, 0)], constant_values=-jnp.inf)[:, :-1]
+    is_peak = (raw >= wmax) & (raw > prev) & hit
+
+    # timing-phase vote: data bits can imitate the sync pattern at off-grid
+    # sample phases (a failure mode the reference's symbol-locked tracker
+    # never sees).  Trust the strongest peak's phase mod 40 per channel and
+    # reject peaks more than +-1 sample off that grid.
+    n_idx = jnp.arange(m)
+    best = jnp.argmax(jnp.where(is_peak, raw, -jnp.inf), axis=-1)  # (C,)
+    p_star = (best % _SPS)[:, None]
+    dph = (n_idx[None, :] - p_star) % _SPS
+    phase_ok = (dph <= 1) | (dph >= _SPS - 1)
+
+    # payload must fit in the dense soft stream
+    fits = n_idx + _SB * _SPS + (_EB - 1) * _SPS < m_soft
+    mask = is_peak & phase_ok & fits[None, :]
+
+    def find(mk, nr):
+        t = jnp.nonzero(mk, size=max_frames, fill_value=-1)[0]
+        return t, nr[jnp.clip(t, 0, None)]
+
+    t_idx, q = jax.vmap(find)(mask, norm)
+    return t_idx + _SB * _SPS, t_idx >= 0, q
+
+
+def extract_payloads_dense(soft: jnp.ndarray, starts: jnp.ndarray):
+    """Gather (C, F, 2144) payload soft symbols at stride 40 from (C, M)."""
+    span = (_EB - 1) * _SPS + 1
+    m = soft.shape[-1]
+    st = jnp.clip(starts, 0, m - span)
+
+    def one(sf, p):
+        w = jax.lax.dynamic_slice(sf, (p,), (span,))
+        return w[:: _SPS]
+
+    return jax.vmap(jax.vmap(one, in_axes=(None, 0)))(soft, st)
+
+
+@functools.partial(jax.jit, static_argnames=("max_frames", "estimate_cfo_flag"))
+def rx_fast(samples: jnp.ndarray, freq_offset=None, max_frames: int = 8,
+            estimate_cfo_flag: bool = True):
+    """Full feed-forward pipeline: (C, N) complex IQ -> decoded frames.
+
+    Handles arbitrary symbol timing and frame positions (dense correlation),
+    constant CFO per block (grid estimate).  Returns dict with frames
+    (C, F, 134), metrics, frame_valid, sync_q, starts (sample-resolution
+    payload starts), freq_offset, n_decoded.
+    """
+    c, n = samples.shape
+    if freq_offset is None:
+        freq_offset = jnp.zeros((c,), jnp.float32)
+    if estimate_cfo_flag:
+        from opv_tpu.rx.cfo import estimate_cfo_batch
+        freq_offset = estimate_cfo_batch(samples).astype(jnp.float32)
+
+    soft = dense_soft(samples, freq_offset)          # (C, M)
+    raw, norm = dense_sync(soft)
+    starts, valid, q = detect_frames(raw, norm, soft.shape[-1], max_frames)
+    payloads = extract_payloads_dense(soft, starts)
+    flat = payloads.reshape(-1, _EB)
+    frames, metrics, ok = decode_payloads(flat)
+    f = payloads.shape[1]
+    fv = ok.reshape(c, f) & valid
+    return dict(
+        frames=frames.reshape(c, f, CONFIG.frame_bytes),
+        metrics=metrics.reshape(c, f),
+        frame_valid=fv,
+        sync_q=q, starts=starts,
+        freq_offset=freq_offset,
+        n_decoded=fv.sum(),
+    )

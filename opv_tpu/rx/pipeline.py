@@ -49,41 +49,67 @@ def rx_block(samples: jnp.ndarray, n_valid, lstate: LoopState,
     ), lstate2, tstate2, hist2
 
 
-@functools.partial(jax.jit, static_argnames=("max_frames", "estimate", "dtype"))
-def _rx_batch_jit(samples, init_offset, max_frames, estimate, dtype, afc_alpha):
+@functools.partial(jax.jit, static_argnames=("max_frames", "estimate", "dtype",
+                                             "coherent"))
+def _rx_batch_jit(samples, init_offset, max_frames, estimate, dtype, afc_alpha,
+                  coherent=False, pll_alpha=0.01, pll_beta=0.001):
     rdtype = jnp.float64 if dtype == "float64" else jnp.float32
     if estimate:
         offset = estimate_cfo(samples).astype(rdtype)
     else:
         offset = jnp.asarray(init_offset, rdtype)
-    lstate = loop_state_init(offset, dtype=rdtype)
     tstate = sync_tracker_init(dtype=rdtype)
     hist = jnp.zeros(CONFIG.encoded_bits, rdtype)
     n = jnp.int32(samples.shape[0])
-    out, lstate2, tstate2, _ = rx_block(
-        samples, n, lstate, tstate, hist, max_frames, afc_alpha=afc_alpha)
-    out["freq_offset"] = lstate2.freq_offset
+    if coherent:
+        from opv_tpu.rx.coherent import coherent_state_init, demodulate_coherent
+        from opv_tpu.rx.frame_decoder import decode_payloads
+        from opv_tpu.rx.sync import extract_payload_windows
+        cstate = coherent_state_init(offset, dtype=rdtype)
+        soft, cstate2 = demodulate_coherent(samples, cstate, afc_alpha,
+                                            pll_alpha, pll_beta)
+        eb = CONFIG.encoded_bits
+        soft_cat = jnp.concatenate([hist, soft])
+        raw, norm = sync_correlate(soft_cat[eb - (CONFIG.sync_bits - 1):])
+        valid = jnp.ones(soft.shape, bool)
+        tstate2, ready, q = sync_scan(tstate, raw, norm, valid)
+        payloads, qs, slot_valid, t_idx = extract_payload_windows(
+            soft_cat, ready, q, max_frames)
+        frames, metrics, ok = decode_payloads(payloads)
+        out = dict(frames=frames, metrics=metrics, frame_valid=ok & slot_valid,
+                   sync_q=qs, t_idx=t_idx, n_symbols=valid.sum().astype(jnp.int32),
+                   samples_used=n)
+        out["freq_offset"] = cstate2.freq_offset
+    else:
+        lstate = loop_state_init(offset, dtype=rdtype)
+        out, lstate2, tstate2, _ = rx_block(
+            samples, n, lstate, tstate, hist, max_frames, afc_alpha=afc_alpha)
+        out["freq_offset"] = lstate2.freq_offset
     out["est_offset"] = offset
     out["tracker_state"] = tstate2.state
     return out
 
 
 def rx_batch(samples: np.ndarray, init_offset: float | None = None,
-             afc_alpha: float = CONFIG.afc_alpha, dtype: str = "float64"):
+             afc_alpha: float = CONFIG.afc_alpha, dtype: str = "float64",
+             coherent: bool = False, pll_bw: float = 50.0):
     """Batch-demodulate a whole capture (reference batch mode).
 
     samples: (N,) complex.  If init_offset is None the coarse CFO grid search
-    runs first (opv-demod.cpp:1166).  Returns the rx_block result dict with
-    only valid frame slots retained (host-side post-filter).
+    runs first (opv-demod.cpp:1166).  coherent=True selects the Costas-loop
+    demod (C12 parity; non-functional in the reference too).  Returns the
+    rx_block result dict with only valid frame slots retained.
     """
     n = len(samples)
     cdtype = np.complex128 if dtype == "float64" else np.complex64
     samples = jnp.asarray(np.asarray(samples, dtype=cdtype))
     max_frames = max_symbols(n) // CONFIG.frame_symbols + 2
+    from opv_tpu.rx.coherent import pll_gains
+    pa, pb = pll_gains(pll_bw) if coherent else (0.01, 0.001)
     out = _rx_batch_jit(samples,
                         0.0 if init_offset is None else float(init_offset),
                         max_frames, init_offset is None, dtype,
-                        float(afc_alpha))
+                        float(afc_alpha), coherent, pa, pb)
     out = {k: np.asarray(v) for k, v in out.items()}
     keep = out["frame_valid"]
     for k in ("frames", "metrics", "sync_q", "t_idx"):

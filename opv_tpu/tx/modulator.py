@@ -62,9 +62,12 @@ class ModulatorState(NamedTuple):
 
 
 def mod_reset() -> ModulatorState:
+    # float64 phases when x64 is enabled (exact path); float32 otherwise
+    # (fast path derives phases from n160 and never accumulates them)
+    pdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     return ModulatorState(
         t_xor=jnp.int32(0), b_n=jnp.int32(1),
-        phase_f1=jnp.float64(0.0), phase_f2=jnp.float64(0.0),
+        phase_f1=jnp.asarray(0.0, pdtype), phase_f2=jnp.asarray(0.0, pdtype),
         n160=jnp.int32(0),
     )
 
@@ -115,8 +118,9 @@ def modulate_bits_fast(bits: jnp.ndarray, state: ModulatorState,
     iq = jnp.stack([i_sig, q_sig], axis=-1) * dtype(_AMP)
     iq16 = iq.astype(jnp.int16)   # truncation toward zero, as the C++ cast
     n160_new = (state.n160 + s * _SPS) % _PERIOD
-    # keep float64 phases consistent for mode interop (exact rational value)
-    ph1 = -_TWO_PI / _PERIOD * n160_new.astype(jnp.float64)
+    # keep accumulator phases consistent for mode interop (exact rational)
+    pdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    ph1 = -_TWO_PI / _PERIOD * n160_new.astype(pdtype)
     new_state = ModulatorState(t_f, bn_f, _wrap_pi_scalar(ph1),
                                _wrap_pi_scalar(-ph1), n160_new)
     return iq16, new_state
