@@ -39,7 +39,7 @@ def main() -> int:
 
     from opv_tpu.config import CONFIG
     from opv_tpu.core import build_bert_frame, encode_frame
-    from opv_tpu.rx.fast import rx_fast
+    from opv_tpu.rx.locked import rx_locked
     from opv_tpu.tx import modulate_frames, tx_flush_zeros
 
     # ---- build the test signal on host (not part of the measurement) ----
@@ -56,10 +56,8 @@ def main() -> int:
     log(f"signal: {channels} channels x {block.shape[1]} samples "
         f"({frames_per_chan} frames/chan)")
 
-    mf = frames_per_chan + 1
-
     def step(x):
-        out = rx_fast(x, max_frames=mf, estimate_cfo_flag=True)
+        out = rx_locked(x, n_frames=frames_per_chan, estimate_cfo_flag=True)
         return out["n_decoded"], out["frames"], out["metrics"], out["frame_valid"]
 
     # ---- warm up / compile ----

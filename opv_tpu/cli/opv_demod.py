@@ -127,6 +127,10 @@ def main(argv=None) -> int:
     if args.fast:
         from opv_tpu.rx.fast import rx_fast
         import jax.numpy as jnp
+        if len(samples) < CONFIG.samples_per_frame + CONFIG.sync_bits * CONFIG.samples_per_symbol:
+            if not args.quiet:
+                print("Capture shorter than one frame; nothing to decode", file=err)
+            return 1
         mf = max(8, len(samples) // CONFIG.samples_per_frame + 2)
         out = rx_fast(jnp.asarray(samples.astype(np.complex64))[None, :],
                       max_frames=mf)

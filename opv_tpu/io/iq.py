@@ -11,12 +11,17 @@ from __future__ import annotations
 
 import numpy as np
 
+from opv_tpu.runtime import HAVE_NATIVE, _iqio
+
 
 def iq_bytes_to_complex(buf: bytes | bytearray | memoryview,
                         dtype=np.complex128) -> np.ndarray:
     """Interleaved int16 LE bytes -> (N,) complex samples (I + jQ)."""
-    a = np.frombuffer(buf, dtype="<i2")
-    a = a[: (len(a) // 2) * 2].reshape(-1, 2)
+    nb = (len(buf) // 4) * 4          # drop any trailing partial sample
+    if HAVE_NATIVE and dtype == np.complex64:
+        return np.frombuffer(_iqio.iq_to_c64(bytes(buf[:nb])), dtype=np.complex64)
+    a = np.frombuffer(buf[:nb] if nb != len(buf) else buf, dtype="<i2")
+    a = a.reshape(-1, 2)
     return (a[:, 0].astype(np.float64) + 1j * a[:, 1].astype(np.float64)).astype(dtype)
 
 

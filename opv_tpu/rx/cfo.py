@@ -67,20 +67,24 @@ def estimate_cfo_batch(samples: jnp.ndarray) -> jnp.ndarray:
         p = corr.real ** 2 + corr.imag ** 2
         return p.sum(axis=(1, 3))                                  # (C, O)
 
+    def select(grid, e):
+        """Row-wise (value, energy) at argmax via one-hot masked reduction —
+        batched gathers (take_along_axis) don't lower on all TPU backends."""
+        i = jnp.argmax(e, axis=-1)
+        onehot = jnp.arange(e.shape[-1])[None, :] == i[:, None]
+        return (jnp.where(onehot, grid, 0).sum(-1),
+                jnp.where(onehot, e, 0).sum(-1))
+
     span, step = CONFIG.cfo_coarse_span_hz, CONFIG.cfo_coarse_step_hz
     coarse = jnp.broadcast_to(jnp.arange(-span, span + step / 2, step),
                               (c, int(2 * span / step) + 1))
     e_c = energies(coarse)
-    ci = jnp.argmax(e_c, axis=-1)
-    coarse_best = jnp.take_along_axis(coarse, ci[:, None], axis=-1)[:, 0]
-    coarse_e = jnp.take_along_axis(e_c, ci[:, None], axis=-1)[:, 0]
+    coarse_best, coarse_e = select(coarse, e_c)
 
     fspan, fstep = CONFIG.cfo_fine_span_hz, CONFIG.cfo_fine_step_hz
     fine = coarse_best[:, None] + jnp.arange(-fspan, fspan + fstep / 2, fstep)
     e_f = energies(fine)
-    fi = jnp.argmax(e_f, axis=-1)
-    fine_best = jnp.take_along_axis(fine, fi[:, None], axis=-1)[:, 0]
-    fine_e = jnp.take_along_axis(e_f, fi[:, None], axis=-1)[:, 0]
+    fine_best, fine_e = select(fine, e_f)
     return jnp.where(fine_e > coarse_e, fine_best, coarse_best)
 
 

@@ -177,6 +177,11 @@ def rx_fast(samples: jnp.ndarray, freq_offset=None, max_frames: int = 8,
     payload starts), freq_offset, n_decoded.
     """
     c, n = samples.shape
+    min_n = _SB * _SPS + (_EB - 1) * _SPS + _SPS + (_SB - 1) * _SPS
+    if n < min_n:
+        raise ValueError(
+            f"rx_fast needs at least one full frame of samples ({min_n}), "
+            f"got {n}; short captures cannot contain a decodable frame")
     if freq_offset is None:
         freq_offset = jnp.zeros((c,), jnp.float32)
     if estimate_cfo_flag:

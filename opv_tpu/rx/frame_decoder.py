@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from opv_tpu.config import CONFIG
 from opv_tpu.core.framing import derandomize, pack_frame_bits
 from opv_tpu.core.interleave import deinterleave_gather
-from opv_tpu.rx.viterbi import viterbi_decode_batch
+from opv_tpu.ops.registry import viterbi_batch
 
 
 def quantize_soft(soft: jnp.ndarray):
@@ -36,6 +36,6 @@ def decode_payloads(soft_payloads: jnp.ndarray):
     """
     q, ok = quantize_soft(soft_payloads)
     deint = q[..., jnp.asarray(deinterleave_gather())]
-    bits, metrics = viterbi_decode_batch(deint)
+    bits, metrics = viterbi_batch(deint)
     frames = derandomize(pack_frame_bits(bits))
     return frames, metrics, ok

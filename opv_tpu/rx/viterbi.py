@@ -76,15 +76,19 @@ def viterbi_decode(soft: jnp.ndarray):
 
     metrics, decisions = jax.lax.scan(acs, metrics0, sg)
     best = jnp.argmin(metrics).astype(jnp.int32)
+    states = jnp.arange(CONFIG.num_states, dtype=jnp.int32)
 
     def traceback(s, dec_t):
         bit = (s & 1).astype(jnp.uint8)
-        took_p1 = dec_t[s]
+        # one-hot select instead of a dynamic scalar gather: batched gathers
+        # don't lower on all TPU backends, a 64-lane masked reduce always does
+        took_p1 = jnp.any((states == s) & dec_t)
         s_next = jnp.where(took_p1, (s >> 1) + CONFIG.num_states // 2, s >> 1)
         return s_next, bit
 
     _, bits = jax.lax.scan(traceback, best, decisions, reverse=True)
-    return bits, metrics[best]
+    best_metric = jnp.sum(jnp.where(states == best, metrics, 0))
+    return bits, best_metric
 
 
 viterbi_decode_batch = jax.vmap(viterbi_decode)

@@ -1,0 +1,56 @@
+"""Pallas kernel tests (interpret mode on CPU; real lowering is exercised on
+TPU by bench.py / the driver)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from opv_tpu.config import CONFIG
+from opv_tpu.core.convcode import conv_encode_bits_np
+from opv_tpu.ops.pallas.viterbi import viterbi_pallas, B_TILE
+from opv_tpu.rx.viterbi import viterbi_decode_batch
+
+
+class TestPallasViterbi:
+    def test_matches_xla_random(self):
+        rng = np.random.default_rng(0)
+        soft = jnp.asarray(rng.integers(0, 8, (5, CONFIG.encoded_bits))
+                           .astype(np.int32))
+        b1, m1 = viterbi_decode_batch(soft)
+        b2, m2 = viterbi_pallas(soft, interpret=True)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    def test_clean_decode(self):
+        rng = np.random.default_rng(1)
+        u = rng.integers(0, 2, (3, CONFIG.frame_bits)).astype(np.uint8)
+        enc = conv_encode_bits_np(u)
+        soft = jnp.asarray(np.where(enc == 1, 7, 0).astype(np.int32))
+        bits, metrics = viterbi_pallas(soft, interpret=True)
+        np.testing.assert_array_equal(np.asarray(bits).astype(np.uint8), u)
+        np.testing.assert_array_equal(np.asarray(metrics), 0)
+
+    def test_batch_padding(self):
+        """Batch sizes that are not multiples of B_TILE are padded/cropped."""
+        rng = np.random.default_rng(2)
+        for b in (1, B_TILE, B_TILE + 3):
+            soft = jnp.asarray(rng.integers(0, 8, (b, CONFIG.encoded_bits))
+                               .astype(np.int32))
+            b1, m1 = viterbi_decode_batch(soft)
+            b2, m2 = viterbi_pallas(soft, interpret=True)
+            assert b2.shape[0] == b
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    def test_registry_dispatch(self):
+        from opv_tpu.ops import registry
+        rng = np.random.default_rng(3)
+        soft = jnp.asarray(rng.integers(0, 8, (2, CONFIG.encoded_bits))
+                           .astype(np.int32))
+        registry.set_backend("pallas_interpret")
+        try:
+            b2, m2 = registry.viterbi_batch(soft)
+        finally:
+            registry.set_backend("xla")
+        b1, m1 = registry.viterbi_batch(soft)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
