@@ -35,6 +35,9 @@ def main(argv=None) -> int:
     ap.add_argument("-h", action="store_true", dest="help")
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--device", default="cpu")
+    ap.add_argument("--metrics", dest="metrics_file", default=None,
+                    help="write JSON-lines metrics snapshots to FILE "
+                         "('-' for stderr)")
     args = ap.parse_args(argv)
 
     if args.help:
@@ -86,6 +89,11 @@ def main(argv=None) -> int:
         # always instantiates the non-coherent AFC demod); match that.
         sd = StreamingDemodulator(init_offset=args.init_offset,
                                   afc_alpha=args.afc_bw)
+        metrics_out = None
+        if args.metrics_file:
+            from opv_tpu.utils.metrics import demod_metrics, emit_json
+            metrics_out = (sys.stderr if args.metrics_file == "-"
+                           else open(args.metrics_file, "w"))
         read_chunk = 65536 * 4
         printed_offset = args.init_offset is not None
         last_status = 0.0
@@ -101,12 +109,19 @@ def main(argv=None) -> int:
                           file=err)
                 printed_offset = True
             secs = sd.total_samples / CONFIG.sample_rate
-            if not args.quiet and secs - last_status >= 5.0:
-                status_line(secs, sd.total_symbols, sd.decoded, sd.perfect,
-                            sd.freq_offset, sd.timing_freq)
+            if secs - last_status >= 5.0:
+                if not args.quiet:
+                    status_line(secs, sd.total_symbols, sd.decoded, sd.perfect,
+                                sd.freq_offset, sd.timing_freq)
+                if metrics_out is not None:
+                    emit_json(demod_metrics(sd), metrics_out)
                 last_status = secs
         for fb, metric, q, _idx in sd.flush():
             emit_frame(sd.decoded, fb, metric, q)
+        if metrics_out is not None:
+            emit_json(demod_metrics(sd), metrics_out)
+            if metrics_out is not sys.stderr:
+                metrics_out.close()
 
         if not args.quiet:
             summary(sd.decoded, sd.perfect,
