@@ -1,0 +1,63 @@
+"""Sample I/O tests: wire-format conversions (numpy and native C paths)."""
+
+import numpy as np
+import pytest
+
+from opv_tpu.io.iq import complex_to_iq_bytes, iq_bytes_to_complex
+from opv_tpu.runtime import HAVE_NATIVE
+
+
+class TestIQWire:
+    def test_round_trip(self):
+        rng = np.random.default_rng(0)
+        iq = rng.integers(-16384, 16384, (1000, 2), dtype=np.int16)
+        buf = iq.astype("<i2").tobytes()
+        c = iq_bytes_to_complex(buf)
+        np.testing.assert_array_equal(c.real, iq[:, 0])
+        np.testing.assert_array_equal(c.imag, iq[:, 1])
+        assert iq_bytes_to_complex(buf, dtype=np.complex64).dtype == np.complex64
+
+    def test_odd_length_truncated(self):
+        buf = b"\x01\x02\x03\x04\x05"     # 1.25 samples
+        assert len(iq_bytes_to_complex(buf)) == 1
+        assert len(iq_bytes_to_complex(b"\x01\x02\x03")) == 0
+
+    def test_native_matches_numpy(self):
+        if not HAVE_NATIVE:
+            pytest.skip("native extension not built")
+        rng = np.random.default_rng(1)
+        iq = rng.integers(-32768, 32768, (513, 2), dtype=np.int16)
+        buf = iq.astype("<i2").tobytes()
+        c64 = iq_bytes_to_complex(buf, dtype=np.complex64)       # native
+        ref = iq_bytes_to_complex(buf, dtype=np.complex128).astype(np.complex64)
+        np.testing.assert_array_equal(c64, ref)
+
+    def test_complex_to_bytes_truncates_toward_zero(self):
+        s = np.array([1.9 + 2.9j, -1.9 - 2.9j, 0.5 - 0.5j])
+        out = np.frombuffer(complex_to_iq_bytes(s), dtype="<i2").reshape(-1, 2)
+        np.testing.assert_array_equal(out, [[1, 2], [-1, -2], [0, 0]])
+
+    def test_native_read_exact(self):
+        if not HAVE_NATIVE:
+            pytest.skip("native extension not built")
+        import os
+        from opv_tpu.runtime import _iqio
+        r, w = os.pipe()
+        os.write(w, b"x" * 7)
+        os.close(w)
+        assert _iqio.read_exact(r, 4) == b"xxxx"
+        assert _iqio.read_exact(r, 10) == b"xxx"   # short at EOF
+        os.close(r)
+
+
+class TestCoherentParity:
+    def test_coherent_decodes_nothing_on_clean_iq(self, golden_dir):
+        """The reference's coherent mode is non-functional (0 frames, AFC
+        rails toward the clamp on clean IQ — SURVEY.md C12).  Our faithful
+        port must fail the same way."""
+        import jax.numpy as jnp
+        from opv_tpu.rx.pipeline import rx_batch
+        raw = np.fromfile(golden_dir / "bert3.iq", dtype="<i2").reshape(-1, 2)
+        s = raw[:, 0].astype(np.float64) + 1j * raw[:, 1]
+        out = rx_batch(s, coherent=True)
+        assert out["decoded"] == 0
