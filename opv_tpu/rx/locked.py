@@ -1,33 +1,40 @@
 """Locked-grid multichannel demodulator — the steady-state production path.
 
 A continuous OPV transmission places one frame every 86,720 samples at a
-fixed sample phase (locked clocks).  Once that grid is known, the entire RX
-pipeline becomes gather-free, fixed-stride tensor algebra — the shape the MXU
-and every TPU backend lowers happily:
+fixed sample phase (locked clocks).  Exploiting that, the pipeline splits
+into a cheap acquisition stage and a lean symbol-rate body:
 
-  1. dense tone correlation (40-tap convs, as rx/fast.py)
-  2. grid acquisition: argmax of the dilated sync correlation over the first
-     frame interval per channel
-  3. payload extraction as ONE unbatched dynamic_slice per channel plus a
-     static strided reshape (no batched gathers, no nonzero)
-  4. batched Viterbi + frame finishing
+  1. ACQUISITION (first frame interval only): dense tone correlation at
+     every sample offset (40-tap convs) + dilated sync correlation -> the
+     first sync position p0 per channel.  Cost: ~1 frame of dense work.
+  2. BODY (whole block): because 86,720 % 40 == 0, every frame shares the
+     timing phase r = p0 mod 40 — so the block is correlated only at the
+     symbol grid: one (nsym, 40) x (40, 2) matmul per channel (40x less
+     work than dense), after ONE per-channel dynamic_slice to phase-align.
+  3. Payload extraction and per-frame sync quality are static strided
+     reshapes/einsums off the symbol-rate soft stream.
+  4. Batched Viterbi + frame finishing.
 
-Use rx_fast for exploratory/bursty captures; use rx_locked for continuous
-streams and throughput benchmarking.  Validity of the lock is reported via
-the per-frame sync quality so callers can fall back to re-acquisition.
+Everything is gather-free (no batched gathers / take_along_axis — some TPU
+runtimes cannot lower them; see CLAUDE.md) and float32.  Use rx_fast for
+exploratory/bursty captures; rx_locked for continuous streams + throughput.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from opv_tpu.config import CONFIG
 from opv_tpu.rx.fast import dense_soft, dense_sync
 from opv_tpu.rx.frame_decoder import decode_payloads
+from opv_tpu.rx.sync import sync_pattern
 
+_TWO_PI = 2.0 * math.pi
 _SPS = CONFIG.samples_per_symbol
 _SB = CONFIG.sync_bits
 _EB = CONFIG.encoded_bits
@@ -40,48 +47,32 @@ def acquire_grid(raw: jnp.ndarray) -> jnp.ndarray:
     Earliest position within the first frame interval whose raw correlation
     reaches 90% of that interval's maximum (the first sync can be slightly
     weaker than later ones — e.g. the modulator's silent first symbol after
-    reset — so a plain argmax would lock onto frame 2).  argmax of a boolean
-    returns the first True: gather-free."""
+    reset — so a plain argmax would lock onto frame 2), refined to the true
+    peak within one symbol.  argmax of a boolean returns the first True:
+    gather-free."""
     window = raw[:, : _FS * _SPS]
     wmax = window.max(axis=-1, keepdims=True)
     cand = window >= 0.9 * wmax
     first = jnp.argmax(cand, axis=-1).astype(jnp.int32)[:, None]
-    # refine to the true peak within one symbol of the first candidate
-    # (the 90% threshold can fire on the rising edge a few samples early)
     idx = jnp.arange(window.shape[-1], dtype=jnp.int32)[None, :]
     near = (idx >= first) & (idx < first + _SPS)
     return jnp.argmax(jnp.where(near, window, -jnp.inf), axis=-1).astype(jnp.int32)
 
 
-def extract_grid_payloads(soft: jnp.ndarray, p0: jnp.ndarray, n_frames: int):
-    """(C, M) dense soft + (C,) sync positions -> (C, F, 2144) payloads.
-
-    One unbatched dynamic_slice per channel (python-unrolled over the static
-    channel count), then static strided reshape: payload symbol j of frame f
-    sits at p0 + 86720*f + 960 + 40*j.
-    """
-    c, m = soft.shape
-    span = n_frames * _FS * _SPS
-    start_max = m - span - _SB * _SPS
-    outs = []
-    for ci in range(c):
-        start = jnp.clip(p0[ci] + _SB * _SPS, 0, start_max + _SB * _SPS)
-        w = jax.lax.dynamic_slice(soft[ci], (start,), (span,))
-        w = w.reshape(n_frames, _FS, _SPS)[:, :_EB, 0]
-        outs.append(w)
-    return jnp.stack(outs)
-
-
-def grid_sync_quality(norm: jnp.ndarray, p0: jnp.ndarray, n_frames: int):
-    """Normalized sync correlation at each expected frame position (C, F)."""
-    c, m = norm.shape
-    outs = []
-    for ci in range(c):
-        start = jnp.clip(p0[ci], 0, m - (n_frames - 1) * _FS * _SPS - 1)
-        w = jax.lax.dynamic_slice(norm[ci], (start,),
-                                  ((n_frames - 1) * _FS * _SPS + 1,))
-        outs.append(jnp.concatenate([w[:: _FS * _SPS]]))
-    return jnp.stack(outs)
+def _symbol_soft(samples_c: jnp.ndarray, r: jnp.ndarray, freq_offset_c,
+                 nsym: int) -> jnp.ndarray:
+    """One channel: phase-align at r (unbatched dynamic_slice) and correlate
+    at the symbol grid -> (nsym,) soft decisions."""
+    w = jax.lax.dynamic_slice(samples_c, (r,), (nsym * _SPS,))
+    sym = w.reshape(nsym, _SPS)
+    freqs = jnp.stack([-CONFIG.freq_dev + freq_offset_c,
+                       CONFIG.freq_dev + freq_offset_c])
+    incs = (_TWO_PI / CONFIG.sample_rate) * freqs
+    i = jnp.arange(_SPS, dtype=incs.dtype)
+    e = jnp.exp(-1j * incs[None, :] * i[:, None]).astype(samples_c.dtype)
+    corr = sym @ e                                        # (nsym, 2)
+    p = corr.real ** 2 + corr.imag ** 2
+    return p[:, 1] - p[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "estimate_cfo_flag"))
@@ -100,11 +91,40 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
         from opv_tpu.rx.cfo import estimate_cfo_batch
         freq_offset = estimate_cfo_batch(samples).astype(jnp.float32)
 
-    soft = dense_soft(samples, freq_offset)
-    raw, norm = dense_sync(soft)
+    # --- acquisition on the first frame interval only ---
+    acq_len = min(n, (_FS + _SB + 2) * _SPS)
+    soft_acq = dense_soft(samples[:, :acq_len], freq_offset)
+    raw, _norm = dense_sync(soft_acq)
     p0 = acquire_grid(raw)
-    payloads = extract_grid_payloads(soft, p0, n_frames)
-    q = grid_sync_quality(norm, p0, n_frames)
+
+    # --- symbol-rate body at the shared timing phase r = p0 mod 40 ---
+    r = p0 % _SPS
+    k0 = (p0 - r) // _SPS                 # symbol index of the sync start
+    nsym = (n - _SPS) // _SPS
+    softs = []
+    for ci in range(c):                   # unrolled: unbatched dynamic_slice
+        softs.append(_symbol_soft(samples[ci], r[ci], freq_offset[ci], nsym))
+    soft = jnp.stack(softs)               # (C, nsym)
+
+    # --- payload extraction: one slice per channel + static reshape ---
+    span = n_frames * _FS
+    start_max = nsym - span
+    payloads = []
+    qs = []
+    pat = jnp.asarray(sync_pattern(), soft.dtype)
+    for ci in range(c):
+        start = jnp.clip(k0[ci], 0, start_max)
+        w = jax.lax.dynamic_slice(soft[ci], (start,), (span,))
+        fr = w.reshape(n_frames, _FS)
+        payloads.append(fr[:, _SB:])
+        sync_w = fr[:, :_SB]
+        rawq = sync_w @ pat
+        energy = jnp.abs(sync_w).sum(-1)
+        qs.append(jnp.where(energy < CONFIG.sync_min_energy, 0.0,
+                            rawq / jnp.where(energy > 0, energy, 1.0)))
+    payloads = jnp.stack(payloads)        # (C, F, 2144)
+    q = jnp.stack(qs)                     # (C, F)
+
     flat = payloads.reshape(-1, _EB)
     frames, metrics, ok = decode_payloads(flat)
     fv = ok.reshape(c, n_frames) & (q >= CONFIG.sync_locked_norm_thresh)

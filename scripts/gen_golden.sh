@@ -67,4 +67,16 @@ out.astype("<i2").tofile(sys.argv[2])
 EOF
 "$BUILD/bin/opv-demod" -s -r -q < "$OUT/awgn10.iq" > "$OUT/awgn10.frames"
 
+# 6. Sync-dropout capture: 8 BERT frames with frame 5's sync word zeroed —
+#    exercises the LOCKED flywheel (collect payload through missed syncs)
+"$BUILD/bin/opv-mod" -S W5NYV -B 8 > "$BUILD/bert8.iq" 2>/dev/null
+python3 - "$BUILD/bert8.iq" "$OUT/dropout.iq" <<'EOF'
+import sys, numpy as np
+iq = np.fromfile(sys.argv[1], dtype="<i2").reshape(-1, 2).copy()
+s0 = 4 * 86720
+iq[s0:s0 + 960] = 0          # erase the 24-symbol sync of frame 5
+iq.astype("<i2").tofile(sys.argv[2])
+EOF
+"$BUILD/bin/opv-demod" -s -r -q < "$OUT/dropout.iq" > "$OUT/dropout.frames"
+
 ls -l "$OUT"

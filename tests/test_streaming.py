@@ -97,6 +97,21 @@ class TestStreaming:
         got = np.stack([np.frombuffer(r[0], dtype=np.uint8) for r in results])
         np.testing.assert_array_equal(got, golden)
 
+    def test_flywheel_sync_dropout_parity(self, golden_dir):
+        """Frame 5's sync word is zeroed out; the LOCKED flywheel must keep
+        collecting payload through the miss and decode all 8 frames, exactly
+        like the reference (fault-tolerance parity, SURVEY.md section 5)."""
+        samples = _load_iq(golden_dir / "dropout.iq")
+        golden = np.frombuffer((golden_dir / "dropout.frames").read_bytes(),
+                               dtype=np.uint8).reshape(-1, CONFIG.frame_bytes)
+        assert len(golden) == 8          # the reference rides through the miss
+        sd = StreamingDemodulator()
+        results = sd.feed(samples)
+        results += sd.flush()
+        got = np.stack([np.frombuffer(r[0], dtype=np.uint8) for r in results])
+        np.testing.assert_array_equal(got, golden)
+        assert sd.sync_state == "LOCKED"
+
     def test_checkpoint_resume(self, bert3, tmp_path):
         """Splitting a stream across two demodulator instances via state
         save/load must decode all frames."""
