@@ -89,6 +89,8 @@ def main(argv=None) -> int:
         # always instantiates the non-coherent AFC demod); match that.
         sd = StreamingDemodulator(init_offset=args.init_offset,
                                   afc_alpha=args.afc_bw)
+        from opv_tpu.utils.metrics import MetricHistogram
+        hist = MetricHistogram()
         metrics_out = None
         if args.metrics_file:
             from opv_tpu.utils.metrics import demod_metrics, emit_json
@@ -102,6 +104,7 @@ def main(argv=None) -> int:
             if not buf:
                 break
             for fb, metric, q, _idx in sd.feed(iq_bytes_to_complex(buf)):
+                hist.add(metric)
                 emit_frame(sd.decoded, fb, metric, q)
             if not printed_offset and sd.est_offset is not None:
                 if not args.quiet:
@@ -117,9 +120,12 @@ def main(argv=None) -> int:
                     emit_json(demod_metrics(sd), metrics_out)
                 last_status = secs
         for fb, metric, q, _idx in sd.flush():
+            hist.add(metric)
             emit_frame(sd.decoded, fb, metric, q)
         if metrics_out is not None:
-            emit_json(demod_metrics(sd), metrics_out)
+            m = demod_metrics(sd)
+            m["viterbi_metric_hist"] = hist.as_dict()
+            emit_json(m, metrics_out)
             if metrics_out is not sys.stderr:
                 metrics_out.close()
 
