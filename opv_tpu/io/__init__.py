@@ -1,3 +1,5 @@
 from opv_tpu.io.iq import iq_bytes_to_complex, complex_to_iq_bytes, int16_pairs_to_complex
+from opv_tpu.io.udp import UDPFrameBridge
 
-__all__ = ["iq_bytes_to_complex", "complex_to_iq_bytes", "int16_pairs_to_complex"]
+__all__ = ["iq_bytes_to_complex", "complex_to_iq_bytes",
+           "int16_pairs_to_complex", "UDPFrameBridge"]

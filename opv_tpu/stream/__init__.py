@@ -1,4 +1,7 @@
 from opv_tpu.stream.chunked import StreamingDemodulator
+from opv_tpu.stream.multichannel import MultiChannelDemodulator
+from opv_tpu.stream.tracking import MultiChannelTrackingDemodulator
 from opv_tpu.stream.state import save_state, load_state
 
-__all__ = ["StreamingDemodulator", "save_state", "load_state"]
+__all__ = ["StreamingDemodulator", "MultiChannelDemodulator",
+           "MultiChannelTrackingDemodulator", "save_state", "load_state"]

@@ -61,3 +61,34 @@ class TestCoherentParity:
         s = raw[:, 0].astype(np.float64) + 1j * raw[:, 1]
         out = rx_batch(s, coherent=True)
         assert out["decoded"] == 0
+
+
+class TestUDPBridge:
+    def test_frame_round_trip(self):
+        from opv_tpu.io.udp import UDPFrameBridge
+        from opv_tpu.config import CONFIG
+        import socket
+        a = UDPFrameBridge()
+        b = UDPFrameBridge()
+        frame = bytes(range(134))
+        a.send(frame, dest=("127.0.0.1", b.port))
+        got = list(b.poll(timeout=5.0))
+        assert got == [frame]
+        # reply goes back to the last sender automatically
+        assert b.send(b"\x00" * CONFIG.frame_bytes)
+        back = list(a.poll(timeout=5.0))
+        assert back == [b"\x00" * CONFIG.frame_bytes]
+        # wrong-size datagrams are dropped
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.sendto(b"short", ("127.0.0.1", b.port))
+        assert list(b.poll(timeout=0.5)) == []
+        a.close(); b.close(); s.close()
+
+    def test_send_without_sender_fails(self):
+        from opv_tpu.io.udp import UDPFrameBridge
+        br = UDPFrameBridge()
+        assert br.send(b"\x00" * 134) is False
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            br.send(b"short", dest=("127.0.0.1", 1))
+        br.close()
