@@ -76,8 +76,29 @@ def main(argv=None) -> int:
             stdout.flush()
 
     # =====================================================================
-    # STREAMING MODE
+    # STREAMING MODE (--fast: feed-forward overlap-save blocks)
     # =====================================================================
+    if args.streaming and args.fast:
+        from opv_tpu.stream import MultiChannelDemodulator
+        mc = MultiChannelDemodulator(channels=1)
+        decoded = perfect = 0
+        while True:
+            buf = stdin.read(65536 * 16)
+            if not buf:
+                break
+            for _c, fb, metric, q, _pos in mc.feed(
+                    iq_bytes_to_complex(buf, dtype=np.complex64)[None, :]):
+                decoded += 1
+                perfect += int(metric == 0)
+                emit_frame(decoded, fb, metric, q)
+        for _c, fb, metric, q, _pos in mc.flush():
+            decoded += 1
+            perfect += int(metric == 0)
+            emit_frame(decoded, fb, metric, q)
+        if not args.quiet:
+            summary(decoded, perfect, 0.0, 0, "-", 0.0)
+        return 0 if decoded > 0 else 1
+
     if args.streaming:
         from opv_tpu.stream import StreamingDemodulator
         if not args.quiet:

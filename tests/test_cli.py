@@ -68,6 +68,19 @@ class TestPipeLoopback:
             input=mod.stdout, capture_output=True, env=ENV, timeout=600)
         assert dem.stdout == data
 
+    def test_fast_streaming_roundtrip(self):
+        """--fast -s: feed-forward overlap-save streaming decode."""
+        rng = np.random.default_rng(9)
+        data = rng.integers(0, 256, 4 * CONFIG.frame_bytes, dtype=np.uint8).tobytes()
+        mod = run_cli("opv_mod", ["-R", "--fast"], input=data,
+                      capture_output=True, timeout=600)
+        dem = subprocess.run(
+            [sys.executable, "-m", "opv_tpu.cli.opv_demod", "-s", "--fast",
+             "-q", "-r"],
+            input=mod.stdout, capture_output=True, env=ENV, timeout=600)
+        assert dem.returncode == 0
+        assert dem.stdout == data
+
     def test_usage_errors(self):
         r = run_cli("opv_mod", [], capture_output=True, timeout=120)
         assert r.returncode != 0
