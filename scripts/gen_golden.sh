@@ -79,4 +79,23 @@ iq.astype("<i2").tofile(sys.argv[2])
 EOF
 "$BUILD/bin/opv-demod" -s -r -q < "$OUT/dropout.iq" > "$OUT/dropout.frames"
 
+# 7. Sample-clock drift capture: 8 BERT frames resampled at +200 ppm —
+#    exercises the early-late timing-recovery loop
+python3 - "$BUILD/bert8.iq" "$OUT/drift.iq" <<'EOF'
+import sys, numpy as np
+raw = np.fromfile(sys.argv[1], dtype="<i2").reshape(-1, 2)
+s = raw[:, 0].astype(np.float64) + 1j * raw[:, 1].astype(np.float64)
+ppm = 200e-6
+n_out = int(len(s) / (1 + ppm)) - 2
+t = np.arange(n_out) * (1 + ppm)
+i0 = t.astype(np.int64)
+f = t - i0
+r = s[i0] * (1 - f) + s[i0 + 1] * f
+out = np.empty((n_out, 2), dtype="<i2")
+out[:, 0] = np.clip(np.trunc(r.real), -32768, 32767).astype(np.int16)
+out[:, 1] = np.clip(np.trunc(r.imag), -32768, 32767).astype(np.int16)
+out.tofile(sys.argv[2])
+EOF
+"$BUILD/bin/opv-demod" -s -r -q < "$OUT/drift.iq" > "$OUT/drift.frames"
+
 ls -l "$OUT"

@@ -112,6 +112,22 @@ class TestStreaming:
         np.testing.assert_array_equal(got, golden)
         assert sd.sync_state == "LOCKED"
 
+    def test_timing_drift_parity(self, golden_dir):
+        """+200 ppm sample-clock drift: the early-late TED loop must track
+        and the decoded frame sequence must match the reference exactly
+        (the drift capture decodes 7 of 8 frames in the reference — 938
+        bytes — and we must reproduce exactly that)."""
+        samples = _load_iq(golden_dir / "drift.iq")
+        golden = np.frombuffer((golden_dir / "drift.frames").read_bytes(),
+                               dtype=np.uint8).reshape(-1, CONFIG.frame_bytes)
+        sd = StreamingDemodulator()
+        results = sd.feed(samples)
+        results += sd.flush()
+        got = np.stack([np.frombuffer(r[0], dtype=np.uint8) for r in results])
+        np.testing.assert_array_equal(got, golden)
+        # the timing loop must have pulled toward the applied drift
+        assert sd.timing_freq != 0.0
+
     def test_checkpoint_resume(self, bert3, tmp_path):
         """Splitting a stream across two demodulator instances via state
         save/load must decode all frames."""
