@@ -59,20 +59,24 @@ def acquire_grid(raw: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(jnp.where(near, window, -jnp.inf), axis=-1).astype(jnp.int32)
 
 
-def _symbol_soft(samples_c: jnp.ndarray, r: jnp.ndarray, freq_offset_c,
-                 nsym: int) -> jnp.ndarray:
-    """One channel: phase-align at r (unbatched dynamic_slice) and correlate
-    at the symbol grid -> (nsym,) soft decisions."""
-    w = jax.lax.dynamic_slice(samples_c, (r,), (nsym * _SPS,))
-    sym = w.reshape(nsym, _SPS)
-    freqs = jnp.stack([-CONFIG.freq_dev + freq_offset_c,
-                       CONFIG.freq_dev + freq_offset_c])
+def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
+                       nsym: int) -> jnp.ndarray:
+    """Phase-align every channel at its r (python-unrolled UNBATCHED
+    dynamic_slices — batched gathers don't lower on all TPU runtimes) and
+    correlate all channels at the symbol grid with ONE batched matmul."""
+    c = samples.shape[0]
+    sym = jnp.stack([
+        jax.lax.dynamic_slice(samples[ci], (r[ci],), (nsym * _SPS,))
+        for ci in range(c)
+    ]).reshape(c, nsym, _SPS)
+    freqs = jnp.stack([-CONFIG.freq_dev + freq_offset,
+                       CONFIG.freq_dev + freq_offset], axis=-1)   # (C, 2)
     incs = (_TWO_PI / CONFIG.sample_rate) * freqs
     i = jnp.arange(_SPS, dtype=incs.dtype)
-    e = jnp.exp(-1j * incs[None, :] * i[:, None]).astype(samples_c.dtype)
-    corr = sym @ e                                        # (nsym, 2)
+    e = jnp.exp(-1j * incs[:, None, :] * i[None, :, None]).astype(samples.dtype)
+    corr = jnp.einsum("cst,cto->cso", sym, e)                     # (C, nsym, 2)
     p = corr.real ** 2 + corr.imag ** 2
-    return p[:, 1] - p[:, 0]
+    return p[..., 1] - p[..., 0]
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "estimate_cfo_flag"))
@@ -101,10 +105,7 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     r = p0 % _SPS
     k0 = (p0 - r) // _SPS                 # symbol index of the sync start
     nsym = (n - _SPS) // _SPS
-    softs = []
-    for ci in range(c):                   # unrolled: unbatched dynamic_slice
-        softs.append(_symbol_soft(samples[ci], r[ci], freq_offset[ci], nsym))
-    soft = jnp.stack(softs)               # (C, nsym)
+    soft = _symbol_soft_batch(samples, r, freq_offset, nsym)   # (C, nsym)
 
     # --- payload extraction: one slice per channel + static reshape ---
     span = n_frames * _FS
