@@ -44,11 +44,11 @@ def run(platform_override=None):
     from opv_tpu.config import CONFIG
     from opv_tpu.core import build_bert_frame, encode_frame
     from opv_tpu.core.framing import frame_to_symbol_bits
-    from opv_tpu.rx.locked import rx_locked
+    from opv_tpu.rx.locked import rx_locked, rx_locked_steady
     from opv_tpu.tx.modulator import mod_reset, modulate_bits_fast
 
-    frames_per_chan = 3
-    channels = 32 if platform != "cpu" else 8
+    frames_per_chan = 10 if platform != "cpu" else 3
+    channels = 64 if platform != "cpu" else 8
 
     # ---- host side: just the frame bits (tiny) ----
     frames = build_bert_frame("W5NYV", frame_num=np.arange(frames_per_chan))
@@ -69,30 +69,32 @@ def run(platform_override=None):
     n_samples = int(np.prod(samples.shape))
     log(f"signal synthesized on-device: {channels} x {samples.shape[1]} samples")
 
-    # CFO is grid-searched once at stream start (exactly like the reference's
-    # first-chunk estimate, opv-demod.cpp:1029-1038); the steady-state loop
-    # reuses it.  Acquisition + demod + sync + Viterbi all stay in the loop.
+    # CFO grid search and grid acquisition run once at stream start (exactly
+    # like the reference: first-chunk CFO estimate + HUNTING; its LOCKED
+    # steady loop never re-hunts, it only re-checks sync — which here is the
+    # per-frame sync_q gate computed inside the steady step).
     def warmup(x):
         out = rx_locked(x, n_frames=frames_per_chan, estimate_cfo_flag=True)
-        return out["n_decoded"], (out["metrics"] == 0).sum(), out["freq_offset"]
+        return (out["n_decoded"], (out["metrics"] == 0).sum(),
+                out["freq_offset"], out["p0"])
 
-    def step(x, foff):
-        out = rx_locked(x, n_frames=frames_per_chan, freq_offset=foff,
-                        estimate_cfo_flag=False)
+    def step(x, p0, foff):
+        out = rx_locked_steady(x, p0, foff, n_frames=frames_per_chan)
         return out["n_decoded"], (out["metrics"] == 0).sum()
 
     t0 = time.time()
     out = warmup(samples)
     jax.block_until_ready(out)
-    log(f"first call (compile + CFO estimate): {time.time() - t0:.1f}s")
+    log(f"first call (compile + CFO + acquisition): {time.time() - t0:.1f}s")
     n_decoded = int(out[0])
     perfect = int(out[1])
     foff = out[2]
+    p0 = out[3]
     expect = channels * frames_per_chan
     log(f"decoded {n_decoded}/{expect} frames, {perfect} perfect")
     if n_decoded != expect:
         log("WARNING: decode check failed — reporting throughput anyway")
-    out = step(samples, foff)
+    out = step(samples, p0, foff)
     jax.block_until_ready(out)
     assert int(out[0]) == n_decoded
 
@@ -102,7 +104,7 @@ def run(platform_override=None):
             profile_dir = sys.argv[i + 1]
     if profile_dir:
         with jax.profiler.trace(profile_dir):
-            out = step(samples, foff)
+            out = step(samples, p0, foff)
             jax.block_until_ready(out)
         log(f"profiler trace written to {profile_dir}")
 
@@ -110,7 +112,7 @@ def run(platform_override=None):
     times = []
     for _ in range(reps):
         t0 = time.time()
-        out = step(samples, foff)
+        out = step(samples, p0, foff)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     dt = min(times)

@@ -79,6 +79,20 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
     return p[..., 1] - p[..., 0]
 
 
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def rx_locked_steady(samples: jnp.ndarray, p0: jnp.ndarray,
+                     freq_offset: jnp.ndarray, n_frames: int):
+    """Steady-state hot loop: grid already acquired (p0 known), CFO known.
+
+    This is the per-block production path: blocks that advance by an exact
+    multiple of 86,720 samples keep p0 invariant, so no re-acquisition is
+    needed — exactly like the reference's LOCKED state, which only re-checks
+    sync (our per-frame sync_q) rather than re-hunting.  Lock loss shows up
+    as sync_q collapsing; callers then rerun rx_locked.
+    """
+    return _locked_body(samples, p0, freq_offset, n_frames)
+
+
 @functools.partial(jax.jit, static_argnames=("n_frames", "estimate_cfo_flag"))
 def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
               estimate_cfo_flag: bool = True):
@@ -100,7 +114,11 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     soft_acq = dense_soft(samples[:, :acq_len], freq_offset)
     raw, _norm = dense_sync(soft_acq)
     p0 = acquire_grid(raw)
+    return _locked_body(samples, p0, freq_offset, n_frames)
 
+
+def _locked_body(samples, p0, freq_offset, n_frames: int):
+    c, n = samples.shape
     # --- symbol-rate body at the shared timing phase r = p0 mod 40 ---
     r = p0 % _SPS
     k0 = (p0 - r) // _SPS                 # symbol index of the sync start
