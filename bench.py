@@ -47,7 +47,7 @@ def run(platform_override=None):
     from opv_tpu.rx.locked import rx_locked, rx_locked_steady
     from opv_tpu.tx.modulator import mod_reset, modulate_bits_fast
 
-    frames_per_chan = 10 if platform != "cpu" else 3
+    frames_per_chan = 40 if platform != "cpu" else 3
     channels = 64 if platform != "cpu" else 8
 
     # ---- host side: just the frame bits (tiny) ----
