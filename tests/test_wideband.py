@@ -1,0 +1,55 @@
+"""WidebandReceiver: streaming wideband -> channel bank -> frames, with
+seam-exact filter history."""
+
+import numpy as np
+import pytest
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+from test_channelizer import msk_wideband, synthesize_wideband  # noqa: E402
+
+from opv_tpu.core import build_bert_frame  # noqa: E402
+from opv_tpu.stream.wideband import WidebandReceiver  # noqa: E402
+
+
+class TestWidebandReceiver:
+    def test_streaming_decode(self):
+        k = 4
+        sets = {0: build_bert_frame("W5NYV", frame_num=np.arange(6)),
+                2: build_bert_frame("TEST", frame_num=np.arange(6))}
+        # lead-in: the channelizer's filter warm-up consumes the first ~taps
+        # output samples, so a transmission starting at wideband sample 0
+        # would lose its first sync peak (physical startup transient) —
+        # start transmissions a little into the stream, as reality does
+        lead = np.zeros(2000 * k, np.complex128)
+        wb = {c: np.concatenate([lead, msk_wideband(f, k)])
+              for c, f in sets.items()}
+        n = max(map(len, wb.values()))
+        x = synthesize_wideband(wb, k, n)
+
+        rx = WidebandReceiver(k, block_frames=3)
+        res = []
+        rng = np.random.default_rng(0)
+        off = 0
+        while off < len(x):
+            m = int(rng.integers(10_000, 400_000))
+            res += rx.feed(x[off:off + m])
+            off += m
+        res += rx.flush()
+
+        per = {}
+        for c, fb, metric, q, pos in res:
+            per.setdefault(c, []).append((pos, np.frombuffer(fb, np.uint8), metric))
+        for c, expected in sets.items():
+            lst = sorted(per.get(c, []))
+            assert len(lst) == 6, f"channel {c}: {len(lst)} frames"
+            got = np.stack([f for _, f, _ in lst])
+            np.testing.assert_array_equal(got, expected)
+            assert all(m <= 16 for _, _, m in lst)
+        # quiet channels: adjacent-channel leakage can pass the (amplitude-
+        # blind) normalized sync threshold, but never with a healthy Viterbi
+        # metric — callers separate real traffic by metric, as with the
+        # reference's noise false-locks
+        for c in (1, 3):
+            assert all(m > 100 for _, _, m in per.get(c, []))
