@@ -47,7 +47,11 @@ def run(platform_override=None):
     from opv_tpu.rx.locked import rx_locked, rx_locked_steady
     from opv_tpu.tx.modulator import mod_reset, modulate_bits_fast
 
-    frames_per_chan = 40 if platform != "cpu" else 3
+    # 64ch x 20 frames: 1.5+ GS/s on a v5e chip while keeping compile time
+    # well inside the subprocess watchdog even on a slow tunnel (F=40 gives
+    # ~2.0 GS/s but has been seen to compile for 4+ minutes when the tunnel
+    # is degraded)
+    frames_per_chan = 20 if platform != "cpu" else 3
     channels = 64 if platform != "cpu" else 8
 
     # ---- host side: just the frame bits (tiny) ----
@@ -123,46 +127,50 @@ def run(platform_override=None):
     return msps, platform
 
 
-def main() -> int:
-    import signal
-
-    def watchdog(sig, frm):
-        log("WATCHDOG: accelerator run exceeded 10 min (wedged backend?); "
-            "re-exec on CPU")
-        import os
-        os.execvpe(sys.executable, [sys.executable, __file__, "--cpu"],
-                   {**os.environ, "OPV_BENCH_CPU": "1"})
-
-    signal.signal(signal.SIGALRM, watchdog)
-    signal.alarm(600)
-    try:
-        msps, platform = run()
-        signal.alarm(0)
-    except Exception as e:
-        log(f"accelerator run failed ({type(e).__name__}: {str(e)[:100]}); "
-            f"falling back to CPU")
-        import os
-        os.execvpe(sys.executable,
-                   [sys.executable, __file__, "--cpu"],
-                   {**os.environ, "OPV_BENCH_CPU": "1"})
-
+def _emit(msps):
     print(json.dumps({
         "metric": "demod_throughput",
         "value": round(msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),
     }))
+
+
+def main() -> int:
+    # Run the accelerator attempt in a KILLABLE subprocess: a wedged TPU
+    # tunnel blocks inside uninterruptible C fetches where SIGALRM never
+    # fires, so in-process watchdogs cannot save us.
+    import os
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--attempt"],
+            timeout=600, capture_output=True, text=True)
+        sys.stderr.write(r.stderr)
+        line = next((l for l in r.stdout.splitlines()
+                     if l.startswith('{"metric"')), None)
+        if r.returncode == 0 and line:
+            print(line)
+            return 0
+        log(f"accelerator attempt failed (exit {r.returncode}); CPU fallback")
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                             else e.stderr.decode())
+        log("accelerator attempt exceeded 10 min (wedged backend?); "
+            "CPU fallback")
+    msps, _ = run("cpu")
+    _emit(msps)
     return 0
 
 
 if __name__ == "__main__":
     if "--cpu" in sys.argv or __import__("os").environ.get("OPV_BENCH_CPU"):
-        msps, platform = run("cpu")
-        print(json.dumps({
-            "metric": "demod_throughput",
-            "value": round(msps, 2),
-            "unit": "Msamples/s",
-            "vs_baseline": round(msps / BASELINE_MSPS, 2),
-        }))
+        msps, _ = run("cpu")
+        _emit(msps)
+        sys.exit(0)
+    if "--attempt" in sys.argv:
+        msps, _ = run()
+        _emit(msps)
         sys.exit(0)
     sys.exit(main())
