@@ -1,19 +1,22 @@
 """Pallas TPU kernel: batched 64-state soft-decision Viterbi.
 
 Same trellis semantics as opv_tpu.rx.viterbi (reference parity:
-src/opv-demod.cpp:800-847) but executed as ONE kernel per frame tile —
+src/opv-demod.cpp:800-847) but executed as ONE kernel per 128-frame tile —
 metrics, decisions, and the traceback all live in VMEM, avoiding the
-1072-step XLA while-loop's per-iteration HBM traffic and dispatch overhead.
+1072-step XLA while-loop's per-iteration HBM traffic.
 
-Gather-free formulation:
-  * parent metrics:  metrics[p0] for s=0..63 is repeat(metrics[:32], 2) and
-    metrics[p1] is repeat(metrics[32:], 2) — pure reshape/broadcast.
-  * branch metrics: expected-bit tables are compile-time (1, 64) constants.
-  * traceback state select: 64-lane one-hot masked reduce.
+Layout (Mosaic-native):
+  * the frame batch rides the LANE axis (128 frames per tile),
+  * the 64 trellis states ride the SUBLANE axis,
+  * the trellis time axis is the major dimension of every dynamically
+    indexed ref (soft (1072, 2, 128), bits (1072, 128), decisions
+    (1072, 2, 128)),
+  * decisions are BIT-PACKED: two int32 words per (step, frame) hold the 64
+    per-state survivor choices, so the decision tape is ~1 MB of VMEM.
 
-Layouts: the 64-state axis lives in the lane dimension (x128 padded), the
-frame-batch axis in sublanes.  Decisions are staged in a VMEM scratch of
-shape (1072, B_TILE, 64) int32.
+Gather-free: parent metrics via sublane repeat-reshape, branch metrics from
+a (64, 1) expected-bit table input, traceback via per-lane shift/mask of the
+packed words.
 """
 
 from __future__ import annotations
@@ -31,62 +34,69 @@ from opv_tpu.rx.viterbi import _tables
 
 _NS = CONFIG.num_states          # 64
 _FB = CONFIG.frame_bits          # 1072
-_EB = CONFIG.encoded_bits        # 2144
 _INF = np.int32(0x7FFFFFFF)
 _GUARD = np.int32(0x7FFFFFF0)
 
-B_TILE = 8                       # frames per kernel instance
+B_TILE = 128                     # frames per kernel instance (lane width)
 
 
-def _expected_tables():
+def _expected_cols():
+    """(4, 64) expected-bit tables -> (64, 4) column layout for sublanes."""
     _, _, e1_0, e2_0, e1_1, e2_1 = _tables()
-    return (np.asarray(e1_0, np.int32)[None, :], np.asarray(e2_0, np.int32)[None, :],
-            np.asarray(e1_1, np.int32)[None, :], np.asarray(e2_1, np.int32)[None, :])
+    return np.stack([e1_0, e2_0, e1_1, e2_1], axis=1).astype(np.int32)
 
 
 def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref):
-    e1_0 = exp_ref[0:1, :]
-    e2_0 = exp_ref[1:2, :]
-    e1_1 = exp_ref[2:3, :]
-    e2_1 = exp_ref[3:4, :]
+    e1_0 = exp_ref[:, 0:1]                           # (64, 1)
+    e2_0 = exp_ref[:, 1:2]
+    e1_1 = exp_ref[:, 2:3]
+    e2_1 = exp_ref[:, 3:4]
     soft_max = jnp.int32(CONFIG.soft_max)
-    b = B_TILE
 
-    metrics0 = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (b, _NS), 1) == 0,
-        jnp.int32(0), _INF)
+    states = jax.lax.broadcasted_iota(jnp.int32, (_NS, B_TILE), 0)
+    weight = jnp.int32(1) << (states % 32)           # per-state pack weight
+
+    metrics0 = jnp.where(states == 0, jnp.int32(0), _INF)
 
     def acs_step(t, metrics):
-        sg = soft_ref[:, pl.ds(2 * t, 2)]            # (B, 2)
-        sg1 = sg[:, 0:1]                             # (B, 1)
-        sg2 = sg[:, 1:2]
+        sg = soft_ref[t]                             # (2, B)
+        sg1 = sg[0:1, :]                             # (1, B)
+        sg2 = sg[1:2, :]
         bm0 = jnp.where(e1_0 == 1, soft_max - sg1, sg1) + \
-              jnp.where(e2_0 == 1, soft_max - sg2, sg2)      # (B, 64)
+              jnp.where(e2_0 == 1, soft_max - sg2, sg2)      # (64, B)
         bm1 = jnp.where(e1_1 == 1, soft_max - sg1, sg1) + \
               jnp.where(e2_1 == 1, soft_max - sg2, sg2)
-        # parent p0 = s>>1: repeat lower half; p1 = p0+32: repeat upper half
-        mp0 = jnp.broadcast_to(metrics[:, : _NS // 2, None],
-                               (b, _NS // 2, 2)).reshape(b, _NS)
-        mp1 = jnp.broadcast_to(metrics[:, _NS // 2 :, None],
-                               (b, _NS // 2, 2)).reshape(b, _NS)
+        # parent p0 = s>>1: repeat lower half along sublanes; p1: upper half
+        # (jnp.repeat — Mosaic rejects the broadcast_to+reshape equivalent)
+        mp0 = jnp.repeat(metrics[: _NS // 2], 2, axis=0)
+        mp1 = jnp.repeat(metrics[_NS // 2 :], 2, axis=0)
         m0 = jnp.where(mp0 < _GUARD, mp0 + bm0, _INF)
         m1 = jnp.where(mp1 < _GUARD, mp1 + bm1, _INF)
-        dec = (m1 < m0).astype(jnp.int32)
-        dec_ref[t] = dec
+        dec = (m1 < m0).astype(jnp.int32)            # (64, B)
+        # pack survivor bits: word0 = states 0..31, word1 = states 32..63
+        # (all values kept 2-D — Mosaic mislowers 1-D vectors)
+        packed = dec * weight
+        w0 = jnp.sum(packed[: _NS // 2], axis=0, keepdims=True)   # (1, B)
+        w1 = jnp.sum(packed[_NS // 2 :], axis=0, keepdims=True)
+        dec_ref[t] = jnp.concatenate([w0, w1], axis=0)            # (2, B)
         return jnp.where(dec == 1, m1, m0)
 
     metrics = jax.lax.fori_loop(0, _FB, acs_step, metrics0)
 
-    best = jnp.argmin(metrics, axis=-1).astype(jnp.int32)        # (B,)
-    metric_ref[:, 0] = jnp.min(metrics, axis=-1)
+    # Mosaic argmin supports float32 only, and its tie-breaking differs from
+    # XLA's first-occurrence rule (the reference scans states upward,
+    # opv-demod.cpp:836-837).  Make ties impossible with a composite key
+    # metric*64 + state — max value ~9.6e5 is exactly representable in f32.
+    composite = (metrics * _NS + states).astype(jnp.float32)
+    best = jnp.argmin(composite, axis=0, keepdims=True).astype(jnp.int32)
+    metric_ref[pl.ds(0, 1)] = jnp.min(metrics, axis=0, keepdims=True)
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (b, _NS), 1)
-
-    def tb_step(i, s):
+    def tb_step(i, s):                                           # s (1, B)
         t = _FB - 1 - i
-        bits_ref[:, pl.ds(t, 1)] = (s[:, None] & 1)
-        dec_t = dec_ref[t]                                       # (B, 64)
-        took_p1 = jnp.sum(jnp.where(lanes == s[:, None], dec_t, 0), axis=-1)
+        bits_ref[pl.ds(t, 1)] = s & 1
+        words = dec_ref[t]                                       # (2, B)
+        sel = jnp.where(s < _NS // 2, words[0:1, :], words[1:2, :])
+        took_p1 = (sel >> (s % 32)) & 1
         return jnp.where(took_p1 == 1, (s >> 1) + _NS // 2, s >> 1)
 
     jax.lax.fori_loop(0, _FB, tb_step, best)
@@ -104,22 +114,24 @@ def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False):
     if pad:
         soft = jnp.pad(soft, ((0, pad), (0, 0)))
     nb = soft.shape[0] // B_TILE
+    # layout: (1072, 2, Btot) — time major, (g1,g2) sublane, batch lanes
+    soft_t = soft.astype(jnp.int32).reshape(-1, _FB, 2).transpose(1, 2, 0)
 
-    exp = jnp.asarray(np.concatenate(_expected_tables(), axis=0))   # (4, 64)
-    bits, metric = pl.pallas_call(
+    exp = jnp.asarray(_expected_cols())              # (64, 4)
+    bits_t, metric = pl.pallas_call(
         _viterbi_kernel,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((4, _NS), lambda i: (0, 0),
+        in_specs=[pl.BlockSpec((_NS, 4), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((B_TILE, _EB), lambda i: (i, 0),
+                  pl.BlockSpec((_FB, 2, B_TILE), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((B_TILE, _FB), lambda i: (i, 0),
+        out_specs=(pl.BlockSpec((_FB, B_TILE), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
+                   pl.BlockSpec((1, B_TILE), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((soft.shape[0], _FB), jnp.int32),
-                   jax.ShapeDtypeStruct((soft.shape[0], 1), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((_FB, B_TILE, _NS), jnp.int32)],
+        out_shape=(jax.ShapeDtypeStruct((_FB, soft.shape[0]), jnp.int32),
+                   jax.ShapeDtypeStruct((1, soft.shape[0]), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((_FB, 2, B_TILE), jnp.int32)],
         interpret=interpret,
-    )(exp, soft.astype(jnp.int32))
-    return bits[:bsz], metric[:bsz, 0]
+    )(exp, soft_t)
+    return bits_t.T[:bsz], metric[0, :bsz]
