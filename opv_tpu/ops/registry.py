@@ -31,6 +31,10 @@ def viterbi_batch(soft):
         from opv_tpu.rx.viterbi import viterbi_decode_batch
         bits, metrics = viterbi_decode_batch(soft)
         return bits, metrics
+    import jax
     from opv_tpu.ops.pallas.viterbi import viterbi_pallas
-    bits, metrics = viterbi_pallas(soft, interpret=_backend == "pallas_interpret")
+    # compiled pallas only exists on TPU; degrade to interpret elsewhere
+    interpret = (_backend == "pallas_interpret"
+                 or jax.default_backend() in ("cpu",))
+    bits, metrics = viterbi_pallas(soft, interpret=interpret)
     return bits.astype("uint8"), metrics
