@@ -139,6 +139,40 @@ class TestUDPServer:
             proc.terminate()
             proc.wait(timeout=30)
 
+    def test_tx_mode_and_iq_tee(self, tmp_path):
+        """-t: UDP frame -> IQ on stdout; -o FILE tees the same IQ."""
+        port = 57493
+        tee = tmp_path / "tee.iq"
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "opv_tpu.cli.opv_modem", "-t",
+             "-p", str(port), "-o", str(tee)],
+            env=ENV, stderr=subprocess.PIPE, stdout=subprocess.PIPE)
+        try:
+            assert self._wait_port_ready(proc)
+            from opv_tpu.core.base40 import base40_encode
+            frame = bytearray(CONFIG.frame_bytes)
+            frame[:6] = base40_encode("W5NYV")
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.sendto(bytes(frame), ("127.0.0.1", port))
+            # one frame of IQ = 2168 symbols * 40 samples * 4 bytes
+            want = CONFIG.samples_per_frame * 4
+            got = b""
+            deadline = time.time() + 240
+            while len(got) < want and time.time() < deadline:
+                got += proc.stdout.read1(65536)
+            assert len(got) >= want
+            s.close()
+        finally:
+            proc.terminate()
+            proc.wait(timeout=30)
+        # the tee matches what went to stdout, and it demodulates
+        tee_bytes = tee.read_bytes()
+        assert tee_bytes[:want] == got[:want]
+        dem = subprocess.run(
+            [sys.executable, "-m", "opv_tpu.cli.opv_demod", "-s", "-r", "-q"],
+            input=tee_bytes, capture_output=True, env=ENV, timeout=600)
+        assert dem.stdout == bytes(frame)
+
     def test_rx_mode_udp_delivery(self):
         """make test-rx: opv-mod -S TEST -B 3 | opv-modem -R -r PORT."""
         port = 57492
