@@ -49,6 +49,9 @@ out[:, 1] = np.clip(np.trunc(s.imag), -32768, 32767).astype(np.int16)
 out.astype("<i2").tofile(sys.argv[2])
 EOF
 "$BUILD/bin/opv-demod" -s -r -q < "$OUT/cfo500.iq" > "$OUT/cfo500.frames"
+# DSP-tunable variants: custom AFC bandwidth and explicit initial offset
+"$BUILD/bin/opv-demod" -s -r -q -a 0.01 < "$OUT/cfo500.iq" > "$OUT/cfo500_a01.frames"
+"$BUILD/bin/opv-demod" -s -r -q -o 500 < "$OUT/cfo500.iq" > "$OUT/cfo500_o500.frames"
 
 # 5. AWGN capture: 6 BERT frames at Eb/N0 = 10 dB (seeded), + reference decode
 python3 - "$BUILD/bert6.iq" "$OUT/awgn10.iq" <<'EOF'

@@ -154,3 +154,28 @@ class TestStreaming:
         assert len(allres) == 3
         for r, g in zip(allres, golden):
             assert r[0] == bytes(g) and r[1] == 0
+
+
+class TestDSPTunableParity:
+    """The -a (AFC bandwidth) and -o (initial offset) tunables change the
+    loop trajectories; each variant must still match the reference
+    byte-for-byte on the +500 Hz capture."""
+
+    def _run(self, golden_dir, **kw):
+        samples = _load_iq(golden_dir / "cfo500.iq")
+        sd = StreamingDemodulator(**kw)
+        results = sd.feed(samples)
+        results += sd.flush()
+        return np.stack([np.frombuffer(r[0], dtype=np.uint8) for r in results])
+
+    def test_afc_bandwidth_001(self, golden_dir):
+        golden = np.frombuffer((golden_dir / "cfo500_a01.frames").read_bytes(),
+                               dtype=np.uint8).reshape(-1, CONFIG.frame_bytes)
+        got = self._run(golden_dir, afc_alpha=0.01)
+        np.testing.assert_array_equal(got, golden)
+
+    def test_initial_offset_500(self, golden_dir):
+        golden = np.frombuffer((golden_dir / "cfo500_o500.frames").read_bytes(),
+                               dtype=np.uint8).reshape(-1, CONFIG.frame_bytes)
+        got = self._run(golden_dir, init_offset=500.0)
+        np.testing.assert_array_equal(got, golden)
