@@ -32,8 +32,14 @@ def int16_pairs_to_complex(iq: np.ndarray, dtype=np.complex128) -> np.ndarray:
 
 def complex_to_iq_bytes(samples: np.ndarray) -> bytes:
     """(N,) complex (already scaled to int16 range) -> wire bytes.
-    Truncates toward zero like the reference's static_cast<int16_t>."""
+    Truncates toward zero like the reference's static_cast<int16_t>, with
+    saturation at the int16 rails."""
+    if HAVE_NATIVE:
+        inter = np.empty((len(samples), 2), dtype=np.float32)
+        inter[:, 0] = samples.real
+        inter[:, 1] = samples.imag
+        return _iqio.f32_to_iq(inter.tobytes())
     out = np.empty((len(samples), 2), dtype="<i2")
-    out[:, 0] = np.trunc(samples.real).astype(np.int16)
-    out[:, 1] = np.trunc(samples.imag).astype(np.int16)
+    out[:, 0] = np.clip(np.trunc(samples.real), -32768, 32767).astype(np.int16)
+    out[:, 1] = np.clip(np.trunc(samples.imag), -32768, 32767).astype(np.int16)
     return out.tobytes()

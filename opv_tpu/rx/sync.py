@@ -36,7 +36,6 @@ import numpy as np
 from opv_tpu.config import CONFIG
 
 _HUNT, _VERIFY, _LOCKED = 0, 1, 2
-_EB = None  # set below
 
 
 @functools.lru_cache(maxsize=None)

@@ -37,6 +37,23 @@ class TestIQWire:
         out = np.frombuffer(complex_to_iq_bytes(s), dtype="<i2").reshape(-1, 2)
         np.testing.assert_array_equal(out, [[1, 2], [-1, -2], [0, 0]])
 
+    def test_complex_to_bytes_saturates(self):
+        """Out-of-range samples saturate at the int16 rails instead of
+        wrapping — on both the native and numpy paths."""
+        s = np.array([40000.0 - 40000.0j, -1e9 + 1e9j])
+        for path in ("auto", "numpy"):
+            if path == "numpy":
+                import opv_tpu.io.iq as m
+                old = m.HAVE_NATIVE
+                m.HAVE_NATIVE = False
+            try:
+                out = np.frombuffer(complex_to_iq_bytes(s), dtype="<i2").reshape(-1, 2)
+                np.testing.assert_array_equal(
+                    out, [[32767, -32768], [-32768, 32767]])
+            finally:
+                if path == "numpy":
+                    m.HAVE_NATIVE = old
+
     def test_native_read_exact(self):
         if not HAVE_NATIVE:
             pytest.skip("native extension not built")
