@@ -91,41 +91,48 @@ def demodulate_block(samples: jnp.ndarray, n_valid: jnp.ndarray,
     maxs = max_symbols(cap)
     rdtype = state.mu.dtype
     afc_alpha = jnp.asarray(afc_alpha, rdtype)
-    nvf = n_valid.astype(rdtype)
+    n_valid = n_valid.astype(jnp.int32)
 
     i40 = jnp.arange(_SPS, dtype=rdtype)
+    i40_int = jnp.arange(_SPS, dtype=jnp.int32)
     first_sample = samples[0]
     fd = jnp.asarray(CONFIG.freq_dev, rdtype)
     fs = jnp.asarray(CONFIG.sample_rate, rdtype)
     sr = jnp.asarray(CONFIG.symbol_rate, rdtype)
 
     def interp_window(w, rel):
-        """Linear interp of window w at fractional positions rel (clamped to
-        [0, WIN-2] like the reference's edge clamp)."""
-        relc = jnp.clip(rel, 0.0, _WIN - 2)
-        i0 = jnp.floor(relc).astype(jnp.int32)
+        """Linear interp of window w at fractional positions rel.  The index
+        clamp mirrors the reference (opv-demod.cpp:122-128): interpolation
+        proceeds normally up to rel < WIN-1; only at/after the final sample
+        does the index pin to WIN-2 (unreachable within active steps)."""
+        relc = jnp.clip(rel, 0.0, _WIN - 1)
+        i0 = jnp.minimum(jnp.floor(relc).astype(jnp.int32), _WIN - 2)
         f = (relc - i0.astype(rdtype)).astype(w.dtype)
         v0 = jnp.take(w, i0)
         v1 = jnp.take(w, i0 + 1)
         return v0 * (1 - f) + v1 * f
 
     def step(carry, _):
-        pos, ph1, ph2, foff, tfreq, pc1, pc2, emitted = carry
-        active = pos + _SPS + _EL < nvf
+        # position is carried SPLIT as (pos_int int32, mu in [0,1)): a single
+        # float accumulator loses the timing resolution past ~2^22 samples in
+        # float32 mode, and integer compares keep the loop-gate semantics
+        # exact (a float64 pos in C++ is exactly int+frac, so this matches)
+        pos_int, mu, ph1, ph2, foff, tfreq, pc1, pc2, emitted = carry
+        active = pos_int < n_valid - jnp.int32(_SPS + int(_EL))
 
         inc1 = _TWO_PI * (-fd + foff) / fs
         inc2 = _TWO_PI * (fd + foff) / fs
 
-        base = jnp.clip(jnp.floor(pos).astype(jnp.int32) - 11, 0, cap - _WIN)
+        base = jnp.clip(pos_int - 11, 0, cap - _WIN)
         w = jax.lax.dynamic_slice(samples, (base,), (_WIN,))
-        basef = base.astype(rdtype)
 
-        p_on = pos + i40
-        p_e = p_on - _EL
-        p_l = p_on + _EL
-        s_on = interp_window(w, p_on - basef)
-        s_e = jnp.where(p_e >= 0, interp_window(w, p_e - basef), first_sample)
-        s_l = interp_window(w, p_l - basef)
+        offs = (pos_int - base).astype(rdtype) + mu
+        rel_on = offs + i40
+        s_on = interp_window(w, rel_on)
+        # p_early < 0  <=>  pos_int + i < 10   (mu < 1 makes this exact)
+        e_neg = (pos_int + i40_int) < jnp.int32(int(_EL))
+        s_e = jnp.where(e_neg, first_sample, interp_window(w, rel_on - _EL))
+        s_l = interp_window(w, rel_on + _EL)
 
         lo1 = jnp.exp(1j * (ph1 + i40 * inc1)).astype(w.dtype)
         lo2 = jnp.exp(1j * (ph2 + i40 * inc2)).astype(w.dtype)
@@ -165,25 +172,32 @@ def demodulate_block(samples: jnp.ndarray, n_valid: jnp.ndarray,
                             -CONFIG.afc_clamp_hz, CONFIG.afc_clamp_hz)
         foff_n = jnp.where(emitted >= 1, foff_afc, foff)
 
-        pos_n = pos + _SPS + adj
+        # advance: pos += 40 + adj, decomposed to keep full fractional
+        # precision at any stream position
+        t = mu + (_SPS + adj)
+        t_int = jnp.floor(t).astype(jnp.int32)
+        pos_int_n = pos_int + t_int
+        mu_n = t - t_int.astype(rdtype)
 
         def upd(new, old):
             return jnp.where(active, new, old)
 
-        carry_n = (upd(pos_n, pos), upd(ph1n, ph1), upd(ph2n, ph2),
+        carry_n = (upd(pos_int_n, pos_int), upd(mu_n, mu),
+                   upd(ph1n, ph1), upd(ph2n, ph2),
                    upd(foff_n, foff), upd(tfreq_n, tfreq),
                    upd(c1, pc1), upd(c2, pc2),
                    emitted + active.astype(jnp.int32))
         return carry_n, (jnp.where(active, soft, 0.0), active)
 
-    carry0 = (state.mu, state.phase_f1, state.phase_f2, state.freq_offset,
-              state.timing_freq, state.prev_c1, state.prev_c2, jnp.int32(0))
+    carry0 = (jnp.int32(0), state.mu, state.phase_f1, state.phase_f2,
+              state.freq_offset, state.timing_freq, state.prev_c1,
+              state.prev_c2, jnp.int32(0))
     carry_f, (soft, sym_valid) = jax.lax.scan(step, carry0, None, length=maxs)
-    pos_f, ph1_f, ph2_f, foff_f, tfreq_f, pc1_f, pc2_f, _ = carry_f
+    pos_i_f, mu_f, ph1_f, ph2_f, foff_f, tfreq_f, pc1_f, pc2_f, _ = carry_f
 
-    samples_used = jnp.floor(pos_f).astype(jnp.int32)
+    samples_used = pos_i_f
     new_state = LoopState(
-        mu=pos_f - samples_used.astype(rdtype),
+        mu=mu_f,
         phase_f1=ph1_f, phase_f2=ph2_f, freq_offset=foff_f,
         timing_freq=tfreq_f, prev_c1=pc1_f, prev_c2=pc2_f,
     )

@@ -1,4 +1,10 @@
-"""Feed-forward multichannel RX pipeline — the TPU production path.
+"""Feed-forward multichannel RX pipeline (exploratory / full-backend path).
+
+NOTE: this path uses vmapped dynamic slices and nonzero+gather patterns that
+some restricted TPU runtimes cannot lower (see CLAUDE.md); rx/locked.py is
+the gather-free production path for those targets.  On CPU/GPU/full-featured
+TPU stacks this is the most general pipeline (arbitrary frame positions and
+per-burst detection).
 
 The reference demodulates one channel with per-symbol feedback loops (AFC +
 early-late TED), which is sample-serial by construction.  This module is the
@@ -108,9 +114,8 @@ def dense_sync(soft: jnp.ndarray):
     energy = jax.lax.conv_general_dilated(
         jnp.abs(x), ones, window_strides=(1,), padding="VALID",
         rhs_dilation=(_SPS,), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
-    norm = jnp.where(energy < CONFIG.sync_min_energy, 0.0,
-                     raw / jnp.where(energy > 0, energy, 1.0))
-    return raw, norm
+    from opv_tpu.rx.sync import normalized_sync
+    return raw, normalized_sync(raw, energy)
 
 
 def detect_frames(raw: jnp.ndarray, norm: jnp.ndarray, m_soft: int,
@@ -183,10 +188,11 @@ def rx_fast(samples: jnp.ndarray, freq_offset=None, max_frames: int = 8,
             f"rx_fast needs at least one full frame of samples ({min_n}), "
             f"got {n}; short captures cannot contain a decodable frame")
     if freq_offset is None:
-        freq_offset = jnp.zeros((c,), jnp.float32)
-    if estimate_cfo_flag:
-        from opv_tpu.rx.cfo import estimate_cfo_batch
-        freq_offset = estimate_cfo_batch(samples).astype(jnp.float32)
+        if estimate_cfo_flag:
+            from opv_tpu.rx.cfo import estimate_cfo_batch
+            freq_offset = estimate_cfo_batch(samples).astype(jnp.float32)
+        else:
+            freq_offset = jnp.zeros((c,), jnp.float32)
 
     soft = dense_soft(samples, freq_offset)          # (C, M)
     raw, norm = dense_sync(soft)

@@ -104,10 +104,11 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     """
     c, n = samples.shape
     if freq_offset is None:
-        freq_offset = jnp.zeros((c,), jnp.float32)
-    if estimate_cfo_flag:
-        from opv_tpu.rx.cfo import estimate_cfo_batch
-        freq_offset = estimate_cfo_batch(samples).astype(jnp.float32)
+        if estimate_cfo_flag:
+            from opv_tpu.rx.cfo import estimate_cfo_batch
+            freq_offset = estimate_cfo_batch(samples).astype(jnp.float32)
+        else:
+            freq_offset = jnp.zeros((c,), jnp.float32)
 
     # --- acquisition on the first frame interval only ---
     acq_len = min(n, (_FS + _SB + 2) * _SPS)
@@ -137,10 +138,8 @@ def _locked_body(samples, p0, freq_offset, n_frames: int):
         fr = w.reshape(n_frames, _FS)
         payloads.append(fr[:, _SB:])
         sync_w = fr[:, :_SB]
-        rawq = sync_w @ pat
-        energy = jnp.abs(sync_w).sum(-1)
-        qs.append(jnp.where(energy < CONFIG.sync_min_energy, 0.0,
-                            rawq / jnp.where(energy > 0, energy, 1.0)))
+        from opv_tpu.rx.sync import normalized_sync
+        qs.append(normalized_sync(sync_w @ pat, jnp.abs(sync_w).sum(-1)))
     payloads = jnp.stack(payloads)        # (C, F, 2144)
     q = jnp.stack(qs)                     # (C, F)
 

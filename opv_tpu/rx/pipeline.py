@@ -63,8 +63,6 @@ def _rx_batch_jit(samples, init_offset, max_frames, estimate, dtype, afc_alpha,
     n = jnp.int32(samples.shape[0])
     if coherent:
         from opv_tpu.rx.coherent import coherent_state_init, demodulate_coherent
-        from opv_tpu.rx.frame_decoder import decode_payloads
-        from opv_tpu.rx.sync import extract_payload_windows
         cstate = coherent_state_init(offset, dtype=rdtype)
         soft, cstate2 = demodulate_coherent(samples, cstate, afc_alpha,
                                             pll_alpha, pll_beta)

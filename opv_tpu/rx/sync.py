@@ -51,7 +51,8 @@ class SyncTrackerState(NamedTuple):
     misses: jnp.ndarray       # int32 consecutive sync misses
     sync_q: jnp.ndarray       # float sync quality at last detection
     collecting: jnp.ndarray   # bool
-    total: jnp.ndarray        # int64 total symbols seen
+    total: jnp.ndarray        # symbols seen, saturating (only the
+                              # `total >= sync_bits` warm-up gate reads it)
     frames: jnp.ndarray       # int32 total frames emitted
 
 
@@ -59,8 +60,15 @@ def sync_tracker_init(dtype=jnp.float64) -> SyncTrackerState:
     return SyncTrackerState(
         state=jnp.int32(_HUNT), sss=jnp.int32(0), misses=jnp.int32(0),
         sync_q=jnp.asarray(0.0, dtype), collecting=jnp.bool_(False),
-        total=jnp.int64(0), frames=jnp.int32(0),
+        total=jnp.int32(0), frames=jnp.int32(0),
     )
+
+
+def normalized_sync(raw: jnp.ndarray, energy: jnp.ndarray) -> jnp.ndarray:
+    """Energy-normalized sync correlation with the min-energy gate
+    (opv-demod.cpp:754-757) — the one shared definition for every RX path."""
+    return jnp.where(energy < CONFIG.sync_min_energy, 0.0,
+                     raw / jnp.where(energy > 0, energy, 1.0))
 
 
 def sync_correlate(soft_ext: jnp.ndarray):
@@ -79,8 +87,7 @@ def sync_correlate(soft_ext: jnp.ndarray):
         w = soft_ext[i : i + s]
         raw = raw + w * pat[i]
         energy = energy + jnp.abs(w)
-    norm = jnp.where(energy < CONFIG.sync_min_energy, 0.0, raw / jnp.where(energy > 0, energy, 1.0))
-    return raw, norm
+    return raw, normalized_sync(raw, energy)
 
 
 def sync_scan(state: SyncTrackerState, raw: jnp.ndarray, norm: jnp.ndarray,
@@ -96,7 +103,9 @@ def sync_scan(state: SyncTrackerState, raw: jnp.ndarray, norm: jnp.ndarray,
 
     def step(c: SyncTrackerState, x):
         r, nrm, v = x
-        total = c.total + 1
+        # saturating counter: only the >= sync_bits warm-up gate reads it,
+        # and int64 silently degrades to a wrappable int32 when x64 is off
+        total = jnp.minimum(c.total + 1, jnp.int32(1 << 30))
         sss = c.sss + 1
 
         is_hunt = c.state == _HUNT
