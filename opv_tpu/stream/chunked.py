@@ -87,7 +87,34 @@ class StreamingDemodulator:
         return []
 
     def state_tree(self):
-        return dict(lstate=self.lstate, tstate=self.tstate, hist=self.hist)
+        """Complete serializable state: device carries AND the host-side
+        seam record (buffered raw samples, first-chunk flag, counters) — a
+        restore()d demodulator continues bit-exactly."""
+        import numpy as _np
+        return dict(
+            lstate=self.lstate, tstate=self.tstate, hist=self.hist,
+            buf=self._buf[:self._count].copy(),
+            first=_np.bool_(self._first),
+            est_offset=_np.float64(self.est_offset if self.est_offset
+                                   is not None else _np.nan),
+            counters=_np.array([self.total_samples, self.total_symbols,
+                                self.decoded, self.perfect], dtype=_np.int64),
+        )
+
+    def restore(self, tree) -> None:
+        """Adopt a state produced by state_tree() (e.g. via load_state)."""
+        import numpy as _np
+        self.lstate = type(self.lstate)(*[jnp.asarray(x) for x in tree["lstate"]])
+        self.tstate = type(self.tstate)(*[jnp.asarray(x) for x in tree["tstate"]])
+        self.hist = jnp.asarray(tree["hist"])
+        buf = _np.asarray(tree["buf"])
+        self._buf[:len(buf)] = buf
+        self._count = len(buf)
+        self._first = bool(tree["first"])
+        eo = float(tree["est_offset"])
+        self.est_offset = None if _np.isnan(eo) else eo
+        (self.total_samples, self.total_symbols,
+         self.decoded, self.perfect) = (int(x) for x in tree["counters"])
 
     # -- internals ----------------------------------------------------------
 
@@ -109,6 +136,9 @@ class StreamingDemodulator:
 
         used = int(out["samples_used"])
         nsym = int(out["n_symbols"])
+        # NB: deliberately counts the carried-over leftover samples again —
+        # the reference does the same (total_samples += chunk_buf.size(),
+        # opv-demod.cpp:1027), and the status line's seconds derive from it
         self.total_samples += n_valid
         base_sym = self.total_symbols
         self.total_symbols += nsym

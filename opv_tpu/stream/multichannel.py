@@ -76,13 +76,18 @@ class MultiChannelDemodulator:
         if self._count <= self.overlap // 2:
             return []
         self._buf[:, self._count:] = 0
-        # allow ownership over the whole remaining valid region
-        results = self._process(own_limit=self._count)
+        # allow ownership over the whole remaining valid region, but reject
+        # frames whose payload would extend into the zero padding (a stream
+        # truncated mid-frame must not yield a corrupted phantom frame)
+        results = self._process(own_limit=self._count, valid_limit=self._count)
         self._count = 0
         return results
 
-    def _process(self, own_limit: int | None = None):
+    def _process(self, own_limit: int | None = None,
+                 valid_limit: int | None = None):
         own = self.advance if own_limit is None else own_limit
+        vlim = self.window if valid_limit is None else valid_limit
+        payload_extent = (CONFIG.encoded_bits - 1) * CONFIG.samples_per_symbol + 1
         out = self._step(self._jnp.asarray(self._buf))
         starts = np.asarray(out["starts"])
         valid = np.asarray(out["frame_valid"])
@@ -99,6 +104,8 @@ class MultiChannelDemodulator:
                 sync_start = int(starts[c, k]) - sync_off
                 if sync_start >= own:          # owned by the next block
                     continue
+                if int(starts[c, k]) + payload_extent > vlim:
+                    continue                   # payload extends into padding
                 self.decoded += 1
                 if metrics[c, k] == 0:
                     self.perfect += 1

@@ -7,9 +7,16 @@ independent StreamingDemodulators — but all channels advance in ONE jitted
 device call per chunk, with the per-symbol scans executing in lockstep
 across the channel batch (the VPU sees (C, 40) blocks instead of scalars).
 
-Per-channel chunk boundaries are preserved exactly (each channel processes
-precisely 86,720-sample chunks regardless of its own leftover drift), so
-parity with the single-channel driver holds channel-by-channel.
+Per-channel chunk boundaries are preserved exactly for equal-rate channels
+(each channel processes precisely 86,720-sample chunks regardless of its own
+leftover drift), so parity with the single-channel driver holds channel-by-
+channel.  Channels with persistently divergent sample clocks are handled
+without deadlock or data loss via early short chunks (see feed()), at the
+cost of exact chunk-boundary parity for the lagging channels.
+
+NOTE: this path vmaps the tracking scans (batched dynamic slices inside) —
+run it on CPU or full-featured backends; restricted TPU runtimes that cannot
+lower batched gathers should use stream/multichannel.py + rx/locked.py.
 """
 
 from __future__ import annotations
@@ -32,10 +39,12 @@ class MultiChannelTrackingDemodulator:
                  afc_alpha: float = CONFIG.afc_alpha, dtype: str = "float64"):
         self.channels = channels
         self.chunk = CONFIG.chunk_samples
-        # slack beyond one chunk: per-channel leftovers drift apart by a few
-        # tens of samples, and a fuller channel must be able to wait while
-        # the emptiest one reaches a full chunk (no lockstep deadlock)
-        self.cap = self.chunk + 256
+        # slack beyond one chunk: per-channel leftovers drift apart, and a
+        # fuller channel must be able to wait while the emptiest one reaches
+        # a full chunk; with persistently divergent sample clocks the spread
+        # grows unboundedly, so feed() also early-processes when a buffer
+        # fills (see below)
+        self.cap = self.chunk + 4096
         self.rdtype = np.float64 if dtype == "float64" else np.float32
         self.cdtype = np.complex128 if dtype == "float64" else np.complex64
         self.max_frames = max_symbols(self.cap) // CONFIG.frame_symbols + 2
@@ -82,14 +91,20 @@ class MultiChannelTrackingDemodulator:
         while off < n:
             room = self.cap - self._count
             take = min(int(room.min()), n - off)
-            if take <= 0:
-                break
-            for c in range(self.channels):
-                self._buf[c, self._count[c]:self._count[c] + take] = \
-                    samples[c, off:off + take]
-            self._count += take
-            off += take
+            if take > 0:
+                for c in range(self.channels):
+                    self._buf[c, self._count[c]:self._count[c] + take] = \
+                        samples[c, off:off + take]
+                self._count += take
+                off += take
             if (self._count >= self.chunk).all():
+                out.extend(self._process(np.minimum(self._count, self.chunk)))
+            elif take <= 0:
+                # a channel's buffer is full while another lags (divergent
+                # sample clocks): process what each channel has rather than
+                # deadlocking.  Lagging channels see a slightly short chunk —
+                # per-channel bit-parity with independent drivers holds only
+                # for equal-rate channels, but no input is ever dropped.
                 out.extend(self._process(np.minimum(self._count, self.chunk)))
         return out
 

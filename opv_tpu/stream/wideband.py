@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from opv_tpu.config import CONFIG
-from opv_tpu.rx.channelizer import channelize, prototype_filter
+from opv_tpu.rx.channelizer import channelize
 from opv_tpu.stream.multichannel import MultiChannelDemodulator
 
 

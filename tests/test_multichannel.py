@@ -77,3 +77,18 @@ class TestMultiChannel:
         for c, fb, metric, q, pos in res:
             f = np.frombuffer(fb, np.uint8)
             assert f[12] == f[13] - 1  # BERT payload structure intact
+
+
+class TestTruncatedStream:
+    def test_flush_no_phantom_frames(self, capture10):
+        """A stream cut off mid-frame must not yield a corrupted phantom
+        frame from the zero padding (regression)."""
+        s, frames = capture10
+        spf = CONFIG.samples_per_frame
+        cut = 5 * spf + 960 + spf // 5     # sync + ~20% of frame 6's payload
+        mc = MultiChannelDemodulator(channels=1, block_frames=4)
+        res = mc.feed(s[None, :cut])
+        res += mc.flush()
+        got = np.stack([np.frombuffer(fb, np.uint8) for _, fb, m, q, p in res])
+        assert got.shape[0] == 5           # only the complete frames
+        np.testing.assert_array_equal(got, frames[:5])

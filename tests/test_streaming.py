@@ -138,15 +138,9 @@ class TestStreaming:
         save_state(str(tmp_path / "st.npz"), sd1.state_tree())
 
         sd2 = StreamingDemodulator()
-        sd2._first = False
-        sd2.est_offset = sd1.est_offset
-        st = load_state(str(tmp_path / "st.npz"), sd2.state_tree())
-        sd2.lstate = type(sd1.lstate)(*[jnp.asarray(x) for x in st["lstate"]])
-        sd2.tstate = type(sd1.tstate)(*[jnp.asarray(x) for x in st["tstate"]])
-        sd2.hist = jnp.asarray(st["hist"])
-        # carry the leftover raw samples too (part of the seam record)
-        sd2._buf[:sd1._count] = sd1._buf[:sd1._count]
-        sd2._count = sd1._count
+        st = load_state(str(tmp_path / "st.npz"), sd2.state_tree() | 
+                        {"buf": sd1._buf[:sd1._count] * 0})
+        sd2.restore(st)
 
         res2 = sd2.feed(samples[half:])
         res2 += sd2.flush()

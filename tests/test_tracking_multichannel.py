@@ -56,3 +56,29 @@ class TestTrackingParity:
         for c in (0, 1):
             got = [np.frombuffer(fb, np.uint8) for cc, fb, m, q, i in res if cc == c]
             np.testing.assert_array_equal(np.stack(got), golden)
+
+
+class TestDivergentClocks:
+    def test_no_deadlock_no_data_loss(self, golden_dir):
+        """Channels with a 300 ppm relative clock offset: per-channel buffer
+        counts drift apart indefinitely; the driver must neither deadlock
+        nor silently drop input (regression for the lockstep-fill bug)."""
+        s = _load_iq(golden_dir, "bert3.iq")
+        # simulate a slower clock on channel 1 by resampling +300 ppm
+        ppm = 300e-6
+        n_out = int(len(s) / (1 + ppm)) - 2
+        t = np.arange(n_out) * (1 + ppm)
+        i0 = t.astype(np.int64)
+        f = t - i0
+        s_slow = s[i0] * (1 - f) + s[i0 + 1] * f
+        n = min(len(s), len(s_slow))
+        chans = np.stack([s[:n], s_slow[:n]])
+        # tile the stream 3x so the count spread grows well past the slack
+        chans = np.concatenate([chans] * 3, axis=1)
+        mc = MultiChannelTrackingDemodulator(channels=2)
+        res = mc.feed(chans)
+        res += mc.flush()
+        # every complete pass decodes its frames on both channels
+        c0 = sum(1 for r in res if r[0] == 0)
+        c1 = sum(1 for r in res if r[0] == 1)
+        assert c0 >= 8 and c1 >= 8, (c0, c1)
