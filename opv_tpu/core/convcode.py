@@ -66,18 +66,6 @@ def conv_encode_bits(u: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv_encode_bits_np(u: np.ndarray) -> np.ndarray:
-    """NumPy twin of conv_encode_bits for host-side golden tests."""
-    u = u.astype(np.uint8)
-    n = u.shape[-1]
-    up = np.pad(u, [(0, 0)] * (u.ndim - 1) + [(6, 0)])
-    maxd = 6
-
-    def xord(delays):
-        out = None
-        for d in delays:
-            sl = up[..., maxd - d : maxd - d + n]
-            out = sl.copy() if out is None else out ^ sl
-        return out
-
-    g1, g2 = xord(G1_DELAYS), xord(G2_DELAYS)
-    return np.stack([g1, g2], axis=-1).reshape(*u.shape[:-1], 2 * n)
+    """NumPy-returning wrapper for host-side golden tests (one algorithm,
+    one implementation)."""
+    return np.asarray(conv_encode_bits(jnp.asarray(u)))

@@ -149,7 +149,15 @@ def _phase_track(ph0, inc, n):
 def modulate_bits_exact(bits: jnp.ndarray, state: ModulatorState):
     """Reference-exact modulation (float64 phase recurrence, per-sample wrap
     order identical to opv-mod.cpp:262-280).  Used for golden validation and
-    the CLI compat path; prefer modulate_bits_fast on TPU."""
+    the CLI compat path; prefer modulate_bits_fast on TPU.
+
+    Requires jax_enable_x64 — without it the phases silently degrade to
+    float32 and the bit-exactness contract is void, so we refuse."""
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "modulate_bits_exact requires jax_enable_x64=True (the float64 "
+            "phase recurrence is the bit-exactness contract); use "
+            "modulate_bits_fast for float32 synthesis")
     d_s1, d_s2, t_f, bn_f = symbol_signs(bits, state.t_xor, state.b_n)
     s = bits.shape[0]
     n = s * _SPS

@@ -98,6 +98,8 @@ class TxMultiplexer:
     _data_in_flight: bytearray | None = None
     _data_sent: int = 0
     _data_src: str = ""
+    _data_urgent: bool = False
+    _abort_pending: bool = False
     _hang_count: int = 0
     frames_sent: int = 0
 
@@ -111,13 +113,21 @@ class TxMultiplexer:
 
     def set_ptt(self, on: bool) -> None:
         self.ptt = on
+        if not on:
+            # a vocoder packet that raced the PTT release is dropped — a
+            # stale buffer must not keep the transmitter keyed
+            self._voice_buf = None
 
     def push_voice(self, packet: bytes) -> None:
         """One Opus packet per frame time while PTT is held."""
         self._voice_buf = bytes(packet[:DATA_BYTES])
 
     def push_aaaaa(self, msg: bytes) -> None:
-        self._aaaaa.append(bytes(msg[:DATA_BYTES]))
+        if len(msg) > DATA_BYTES:
+            raise ValueError(
+                f"AAAAA messages are single-frame by design (<= {DATA_BYTES} "
+                f"bytes); got {len(msg)}")
+        self._aaaaa.append(bytes(msg))
 
     def push_chat(self, msg: bytes, urgent: bool = False) -> None:
         self._chat.append((bytes(msg), urgent))
@@ -142,15 +152,23 @@ class TxMultiplexer:
         """Advance the in-flight COBS stream or start a new packet."""
         if self._data_in_flight is None:
             if self._chat:
-                msg, _urgent = self._chat.popleft()
+                msg, urgent = self._chat.popleft()
                 self._data_in_flight = bytearray(cobs_encode(msg))
                 self._data_src = "chat"
+                self._data_urgent = urgent
             elif self._background:
                 self._data_in_flight = bytearray(
                     cobs_encode(self._background.popleft()))
                 self._data_src = "background"
+                self._data_urgent = False
             else:
                 return None
+            # 3. if a previous COBS stream was aborted mid-packet, lead with
+            # a delimiter so the receiver discards the partial bytes instead
+            # of concatenating them with this packet
+            if self._abort_pending:
+                self._data_in_flight[0:0] = b"\x00"
+                self._abort_pending = False
             self._data_sent = 0
         chunk = bytes(self._data_in_flight[self._data_sent:
                                            self._data_sent + DATA_BYTES])
@@ -163,9 +181,14 @@ class TxMultiplexer:
         """Voice preempts a long background packet: re-queue it (reference
         policy: save the aborted packet and retry after the voice ends)."""
         if self._data_in_flight is not None and self._data_src == "background":
-            packet = cobs_decode(bytes(self._data_in_flight))
+            packet = cobs_decode(bytes(self._data_in_flight).lstrip(b"\x00"))
             self._background.appendleft(packet)
+            # bytes already on air lack a terminating delimiter; flag the
+            # next data stream to lead with one
+            if self._data_sent > 0:
+                self._abort_pending = True
         self._data_in_flight = None
+        self._data_urgent = False
 
     # -- the 40 ms tick -----------------------------------------------------
 
@@ -192,7 +215,16 @@ class TxMultiplexer:
             self._hang_count = 0
             return self.state, self._frame(payload)
 
-        urgent_chat = self._chat and self._chat[0][1]
+        urgent_chat = bool(
+            (self._chat and self._chat[0][1]) or
+            (self._data_in_flight is not None and self._data_src == "chat"
+             and self._data_urgent))
+        if urgent_chat and self._data_in_flight is not None \
+                and self._data_src == "background":
+            # 2. an urgent chat must not be starved behind bulk data (and
+            # bulk data must never preempt voice): abort the background
+            # stream so the chat starts this frame
+            self._abort_data()
         if self.ptt and self._voice_buf is not None and not urgent_chat:
             if self._data_in_flight is not None and self._data_src == "background":
                 self._abort_data()

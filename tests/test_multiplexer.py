@@ -57,7 +57,7 @@ class TestPriorities:
 
     def test_background_aborted_by_voice_and_requeued(self):
         m = mux()
-        big = bytes(range(256)) * 5            # 1280 bytes -> ~11 frames
+        big = bytes(range(1, 129)) * 10        # 1280 bytes -> ~11 frames
         m.push_background(big)
         m.tick()                               # preamble
         st, f1 = m.tick()
@@ -67,11 +67,25 @@ class TestPriorities:
         m.push_voice(b"ptt")
         st, f = m.tick()
         assert st == TxState.SENDVOICE and f[12:15] == b"ptt"
-        # PTT released: the aborted packet restarts from the beginning
+        # PTT released: the aborted packet restarts from the beginning, led
+        # by a 0x00 delimiter that terminates the partial bytes already sent
         m.set_ptt(False)
         st, f2 = m.tick()
         assert st == TxState.SENDDATA
-        assert f2 == f1                        # restarted, not resumed
+        assert f2[12] == 0                     # abort delimiter
+        assert f2[13:] == f1[12:-1]            # then the restart
+        # receiver's view: the partial old bytes + delimiter + restart must
+        # decode to exactly the original packet (nothing merged/corrupted)
+        stream = bytearray(f1[12:])            # partial bytes already on air
+        stream.extend(f2[12:])
+        for _ in range(12):
+            st, fx = m.tick()
+            if fx is None:
+                break
+            stream.extend(fx[12:])
+        # drop everything before the first delimiter, then decode
+        rest = bytes(stream[stream.index(0) + 1:])
+        assert cobs_decode(rest) == big
 
     def test_chat_fills_idle_frames(self):
         m = mux()
@@ -114,3 +128,54 @@ class TestPriorities:
                 break
             stream.extend(f[12:])
         assert cobs_decode(bytes(stream)) == msg
+
+    def test_stale_voice_does_not_key_transmitter(self):
+        """A vocoder packet racing the PTT release must not keep the radio
+        keyed forever (regression)."""
+        m = mux(hang_frames=2)
+        m.set_ptt(True)
+        m.push_voice(b"last")
+        m.set_ptt(False)               # drops the stale packet
+        states = [m.tick()[0] for _ in range(6)]
+        assert states[-1] == TxState.IDLE
+        assert TxState.SENDVOICE not in states
+
+    def test_urgent_chat_preempts_background_not_voice(self):
+        """Urgent chat aborts an in-flight background stream; voice resumes
+        right after the chat — bulk data never preempts voice (regression)."""
+        m = mux()
+        m.push_background(bytes(range(1, 100)) * 10)
+        m.tick()                       # preamble
+        m.tick()                       # background chunk 1
+        m.set_ptt(True)
+        m.push_voice(b"v0")
+        m.push_chat(b"now!", urgent=True)
+        st, f = m.tick()
+        assert st == TxState.INTERRUPTUS
+        # delimiter (from the aborted background) precedes the chat encoding
+        assert cobs_decode(f[12:].lstrip(b"\x00")) == b"now!"
+        m.push_voice(b"v1")
+        st, f = m.tick()
+        assert st == TxState.SENDVOICE and f[12:14] == b"v1"
+
+    def test_urgent_multiframe_chat_not_interrupted_by_voice(self):
+        """Urgency persists across all chunks of a multi-frame urgent chat
+        (regression: previously only the queue head's flag was honored)."""
+        m = mux()
+        m.set_ptt(True)
+        msg = bytes(range(1, 201))     # ~2 frames after COBS
+        m.push_chat(msg, urgent=True)
+        m.tick()                       # preamble
+        chunks = bytearray()
+        for _ in range(2):
+            m.push_voice(b"vv")
+            st, f = m.tick()
+            assert st == TxState.INTERRUPTUS
+            chunks.extend(f[12:])
+        assert cobs_decode(bytes(chunks)) == msg
+
+    def test_aaaaa_oversize_rejected(self):
+        m = mux()
+        import pytest as _p
+        with _p.raises(ValueError):
+            m.push_aaaaa(b"x" * 130)
