@@ -80,14 +80,23 @@ def main(argv=None) -> int:
     # =====================================================================
     if args.streaming and args.fast:
         from opv_tpu.stream import MultiChannelDemodulator
+        for flag, name in ((args.init_offset is not None, "-o"),
+                           (args.afc_bw != 0.001, "-a"),
+                           (args.metrics_file, "--metrics")):
+            if flag:
+                print(f"Warning: {name} is ignored in --fast streaming mode "
+                      f"(feed-forward pipeline re-estimates CFO per block "
+                      f"and has no AFC loop)", file=err)
         mc = MultiChannelDemodulator(channels=1)
         decoded = perfect = 0
+        n_samples = 0
         while True:
             buf = stdin.read(65536 * 16)
             if not buf:
                 break
-            for _c, fb, metric, q, _pos in mc.feed(
-                    iq_bytes_to_complex(buf, dtype=np.complex64)[None, :]):
+            x = iq_bytes_to_complex(buf, dtype=np.complex64)
+            n_samples += len(x)
+            for _c, fb, metric, q, _pos in mc.feed(x[None, :]):
                 decoded += 1
                 perfect += int(metric == 0)
                 emit_frame(decoded, fb, metric, q)
@@ -96,7 +105,8 @@ def main(argv=None) -> int:
             perfect += int(metric == 0)
             emit_frame(decoded, fb, metric, q)
         if not args.quiet:
-            summary(decoded, perfect, 0.0, 0, "-", 0.0)
+            summary(decoded, perfect, n_samples / CONFIG.sample_rate,
+                    n_samples // CONFIG.samples_per_symbol, "-", 0.0)
         return 0 if decoded > 0 else 1
 
     if args.streaming:
@@ -124,9 +134,11 @@ def main(argv=None) -> int:
             buf = stdin.read(read_chunk)
             if not buf:
                 break
-            for fb, metric, q, _idx in sd.feed(iq_bytes_to_complex(buf)):
+            chunk_results = sd.feed(iq_bytes_to_complex(buf))
+            base_n = sd.decoded - len(chunk_results)
+            for j, (fb, metric, q, _idx) in enumerate(chunk_results):
                 hist.add(metric)
-                emit_frame(sd.decoded, fb, metric, q)
+                emit_frame(base_n + j + 1, fb, metric, q)
             if not printed_offset and sd.est_offset is not None:
                 if not args.quiet:
                     print(f"Estimated carrier offset: {sd.est_offset:.1f} Hz\n",
@@ -140,9 +152,11 @@ def main(argv=None) -> int:
                 if metrics_out is not None:
                     emit_json(demod_metrics(sd), metrics_out)
                 last_status = secs
-        for fb, metric, q, _idx in sd.flush():
+        flush_results = sd.flush()
+        base_n = sd.decoded - len(flush_results)
+        for j, (fb, metric, q, _idx) in enumerate(flush_results):
             hist.add(metric)
-            emit_frame(sd.decoded, fb, metric, q)
+            emit_frame(base_n + j + 1, fb, metric, q)
         if metrics_out is not None:
             m = demod_metrics(sd)
             m["viterbi_metric_hist"] = hist.as_dict()

@@ -96,14 +96,22 @@ def main(argv=None) -> int:
         if args.verbose:
             print(f"End of input. Total frames: {frame_count}", file=sys.stderr)
     else:
+        # emit in bounded batches: memory stays flat and IQ streams out
+        # promptly (the reference emits frame-by-frame; a live SDR reading
+        # stdout must not wait for the whole -B N batch)
+        batch = 25
         while True:
-            frames = build_bert_frame(callsign, token,
-                                      frame_count + np.arange(args.bert_frames))
-            state = emit(frames, state)
-            frame_count += args.bert_frames
-            if args.verbose:
-                print(f"Sent frame {args.bert_frames}/{args.bert_frames}",
-                      file=sys.stderr)
+            sent = 0
+            while sent < args.bert_frames:
+                k = min(batch, args.bert_frames - sent)
+                frames = build_bert_frame(callsign, token,
+                                          frame_count + np.arange(k))
+                state = emit(frames, state)
+                frame_count += k
+                sent += k
+                if args.verbose:
+                    print(f"Sent frame {sent}/{args.bert_frames}",
+                          file=sys.stderr)
             if not args.continuous:
                 break
             state = mod_reset()   # reference resets at each BERT loop start

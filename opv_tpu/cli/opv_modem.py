@@ -74,7 +74,8 @@ def main(argv=None) -> int:
     fb_len = CONFIG.frame_bytes
     rewrite_bytes = b""
     if args.rewrite_callsign:
-        ok = all(c.isalnum() or c in "-/." for c in args.rewrite_callsign)
+        from opv_tpu.core.base40 import _CHARSET_REV
+        ok = all(c in _CHARSET_REV for c in args.rewrite_callsign)
         if not ok:
             print(f"Error: Invalid callsign '{args.rewrite_callsign}'", file=err)
             print("Use A-Z, 0-9, -, /, . only", file=err)
@@ -133,7 +134,7 @@ def main(argv=None) -> int:
                 frames_rx[0] += 1
                 if args.verbose:
                     sid = base40_decode(fbytes[:6])
-                    tok = int.from_bytes(fbytes[6:9])
+                    tok = int.from_bytes(fbytes[6:9], "big")
                     print(f"RX {frames_rx[0]}: {sid} [0x{tok:x}]", file=err)
                 tx_sock.sendto(fbytes, dest)
 
@@ -209,7 +210,7 @@ def main(argv=None) -> int:
             last_sender[0] = sender
             if args.verbose:
                 sid = base40_decode(data[:6])
-                tok = int.from_bytes(data[6:9])
+                tok = int.from_bytes(data[6:9], "big")
                 print(f"TX {frames_tx[0]}: {sid} [0x{tok:x}] from "
                       f"{sender[0]}:{sender[1]}", file=err)
             frame = np.frombuffer(data, dtype=np.uint8).reshape(1, fb_len)
@@ -226,6 +227,10 @@ def main(argv=None) -> int:
                 deliver(sd.feed(
                     iq_np[:, 0].astype(np.float64) + 1j * iq_np[:, 1]))
 
+    if sd is not None:
+        # drain frames still buffered in the demodulator (the leftover tail
+        # can hold the final frame's samples)
+        deliver(sd.flush())
     if iq_out:
         from opv_tpu.tx import tx_flush_zeros
         iq_out.write(tx_flush_zeros().astype("<i2").tobytes())

@@ -33,8 +33,8 @@ def viterbi_batch(soft):
         return bits, metrics
     import jax
     from opv_tpu.ops.pallas.viterbi import viterbi_pallas
-    # compiled pallas only exists on TPU; degrade to interpret elsewhere
+    # compiled pallas (Mosaic) only exists on TPU; interpret elsewhere
     interpret = (_backend == "pallas_interpret"
-                 or jax.default_backend() in ("cpu",))
+                 or jax.default_backend() != "tpu")
     bits, metrics = viterbi_pallas(soft, interpret=interpret)
     return bits.astype("uint8"), metrics

@@ -27,6 +27,45 @@ HALO_SYMBOLS = CONFIG.frame_symbols + CONFIG.sync_bits
 HALO_SAMPLES = HALO_SYMBOLS * CONFIG.samples_per_symbol
 
 
+def check_time_shard_geometry(total_samples: int, ntime: int) -> None:
+    """A time shard smaller than the halo cannot lend its neighbor a full
+    frame of lookahead — seam-spanning frames would silently vanish."""
+    block = total_samples // ntime
+    if ntime > 1 and block < HALO_SAMPLES:
+        raise ValueError(
+            f"time shard of {block} samples is smaller than the "
+            f"{HALO_SAMPLES}-sample overlap halo; use <= "
+            f"{total_samples // HALO_SAMPLES} time shards for this capture")
+
+
+def halo_demod(block, ntime: int, time_axis: str,
+               max_frames_per_shard: int, **kw):
+    """Shared shard-body: right-neighbor halo exchange + feed-forward demod +
+    sync-start ownership.  Returns (frames, owned) for the local block.
+
+    Used by both the pure time-sharded and the (ch x time) grid pipelines so
+    the seam logic exists exactly once.
+    """
+    if ntime > 1:
+        halo_src = block[:, :HALO_SAMPLES]
+        idx = jax.lax.axis_index(time_axis)
+        # receive the right neighbor's head: everyone sends theirs left
+        perm = [(i, (i - 1) % ntime) for i in range(ntime)]
+        halo = jax.lax.ppermute(halo_src, time_axis, perm)
+        # the last device has no right neighbor: zero the wrapped halo so no
+        # phantom frames appear
+        halo = jnp.where(idx == ntime - 1, jnp.zeros_like(halo), halo)
+        ext = jnp.concatenate([block, halo], axis=1)
+    else:
+        ext = block
+    out = rx_fast(ext, max_frames=max_frames_per_shard, **kw)
+    # ownership: the frame's sync (sample position = payload start minus the
+    # 24-symbol sync word) falls inside the local block, not the halo
+    sync_start = out["starts"] - CONFIG.sync_bits * CONFIG.samples_per_symbol
+    owned = out["frame_valid"] & (sync_start < block.shape[1])
+    return out["frames"], owned
+
+
 def rx_fast_sharded(mesh, samples, max_frames_per_shard: int = 8, **kw):
     """Channel-parallel rx_fast: (C, N) sharded over mesh axis 'ch'.
 
@@ -51,13 +90,11 @@ def rx_fast_sharded(mesh, samples, max_frames_per_shard: int = 8, **kw):
 def rx_time_sharded(mesh, samples, max_frames_per_shard: int = 8, **kw):
     """Time-parallel rx_fast over one (or a few) very long channels.
 
-    samples: (C, T) with T sharded over mesh axis 'time'.  Each device
-    receives its block plus a right-neighbor halo (ppermute), demodulates
-    feed-forward, and keeps only frames whose sync start falls inside its
-    own block.  Returns (frames (C, time*F, 134) gathered, valid mask,
-    global decoded count).
+    samples: (C, T) with T sharded over mesh axis 'time'.  Returns
+    (frames (C, time*F, 134) gathered, owned mask, global decoded count).
     """
     ntime = mesh.shape["time"]
+    check_time_shard_geometry(samples.shape[1], ntime)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -66,23 +103,9 @@ def rx_time_sharded(mesh, samples, max_frames_per_shard: int = 8, **kw):
         check_vma=False,
     )
     def run(block):
-        # block: (C, T/ntime) local shard
-        halo_src = block[:, :HALO_SAMPLES]
-        # receive the *right* neighbor's head: send ours left (i -> i-1)
-        idx = jax.lax.axis_index("time")
-        perm = [(i, (i - 1) % ntime) for i in range(ntime)]
-        halo = jax.lax.ppermute(halo_src, "time", perm)
-        # last device has no right neighbor: its halo (wrapped from device 0)
-        # is zeroed so no phantom frames appear
-        halo = jnp.where(idx == ntime - 1, jnp.zeros_like(halo), halo)
-        ext = jnp.concatenate([block, halo], axis=1)
-
-        out = rx_fast(ext, max_frames=max_frames_per_shard, **kw)
-        # ownership: the frame's sync (sample position = payload start minus
-        # the 24-symbol sync word) falls inside the local block, not the halo
-        sync_start = out["starts"] - CONFIG.sync_bits * CONFIG.samples_per_symbol
-        owned = out["frame_valid"] & (sync_start < block.shape[1])
+        frames, owned = halo_demod(block, ntime, "time",
+                                   max_frames_per_shard, **kw)
         n = jax.lax.psum(owned.sum(), "time")
-        return out["frames"], owned, n
+        return frames, owned, n
 
     return run(samples)
