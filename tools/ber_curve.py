@@ -24,11 +24,16 @@ def main() -> int:
     ap.add_argument("--json", default=None)
     ap.add_argument("--device", default=None,
                     help="jax platform override (default: auto)")
+    ap.add_argument("--path", choices=["locked", "tracking"], default="locked",
+                    help="RX architecture: feed-forward locked grid (fast) "
+                         "or the reference-parity tracking loop (float64)")
     args = ap.parse_args()
 
     import jax
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    if args.path == "tracking":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
 
@@ -52,10 +57,23 @@ def main() -> int:
         noise_pow = sig_pow / (ebn0 / CONFIG.samples_per_symbol)
         noise = (rng.standard_normal(len(s)) + 1j * rng.standard_normal(len(s))) \
             * np.sqrt(noise_pow / 2)
-        out = rx_locked(jnp.asarray((s + noise).astype(np.complex64))[None, :],
-                        n_frames=args.frames)
-        got = np.asarray(out["frames"])[0]
-        metrics = np.asarray(out["metrics"])[0]
+        noisy = s + noise
+        if args.path == "tracking":
+            from opv_tpu.rx.pipeline import rx_batch
+            res = rx_batch(noisy.astype(np.complex128))
+            # align decoded frames to transmitted slots by BERT counter
+            got = np.zeros_like(frames)
+            metrics = np.full(args.frames, 9999, np.int64)
+            for fr, me in zip(res["frames"], res["metrics"]):
+                slot = int(fr[12])
+                if slot < args.frames:
+                    got[slot] = fr
+                    metrics[slot] = me
+        else:
+            out = rx_locked(jnp.asarray(noisy.astype(np.complex64))[None, :],
+                            n_frames=args.frames)
+            got = np.asarray(out["frames"])[0]
+            metrics = np.asarray(out["metrics"])[0]
         bits_got = np.unpackbits(got, axis=1)
         bit_errs = int((bits_got != frame_bits).sum())
         frame_errs = int((got != frames).any(axis=1).sum())
