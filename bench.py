@@ -41,6 +41,24 @@ def run(platform_override=None):
     platform = devs[0].platform
     log(f"devices: {devs}")
 
+    if platform != "cpu":
+        # pre-flight: a wedged tunnel hangs inside uninterruptible fetches,
+        # so probe with a hard thread-watchdog and bail fast (the parent
+        # retries / falls back instead of burning the whole budget)
+        import threading, os
+        done = threading.Event()
+
+        def _watch():
+            if not done.wait(90):
+                log("pre-flight probe hung (>90 s); aborting attempt")
+                os._exit(3)
+
+        threading.Thread(target=_watch, daemon=True).start()
+        t0 = time.time()
+        assert float(jnp.ones((8, 128)).sum()) == 1024.0
+        done.set()
+        log(f"pre-flight ok ({time.time() - t0:.1f}s)")
+
     from opv_tpu.config import CONFIG
     from opv_tpu.core import build_bert_frame, encode_frame
     from opv_tpu.core.framing import frame_to_symbol_bits
@@ -140,25 +158,26 @@ def main() -> int:
     # Run the accelerator attempt in a KILLABLE subprocess: a wedged TPU
     # tunnel blocks inside uninterruptible C fetches where SIGALRM never
     # fires, so in-process watchdogs cannot save us.
-    import os
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, __file__, "--attempt"],
-            timeout=600, capture_output=True, text=True)
-        sys.stderr.write(r.stderr)
-        line = next((l for l in r.stdout.splitlines()
-                     if l.startswith('{"metric"')), None)
-        if r.returncode == 0 and line:
-            print(line)
-            return 0
-        log(f"accelerator attempt failed (exit {r.returncode}); CPU fallback")
-    except subprocess.TimeoutExpired as e:
-        if e.stderr:
-            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
-                             else e.stderr.decode())
-        log("accelerator attempt exceeded 10 min (wedged backend?); "
-            "CPU fallback")
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--attempt"],
+                timeout=420, capture_output=True, text=True)
+            sys.stderr.write(r.stderr)
+            line = next((l for l in r.stdout.splitlines()
+                         if l.startswith('{"metric"')), None)
+            if r.returncode == 0 and line:
+                print(line)
+                return 0
+            log(f"accelerator attempt {attempt + 1} failed "
+                f"(exit {r.returncode})")
+        except subprocess.TimeoutExpired as e:
+            if e.stderr:
+                sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                                 else e.stderr.decode())
+            log(f"accelerator attempt {attempt + 1} exceeded 7 min")
+    log("falling back to CPU")
     msps, _ = run("cpu")
     _emit(msps)
     return 0
