@@ -18,13 +18,13 @@ Options:
 
 Architecturally this replaces the reference's fork/exec demod subprocess +
 pipe plumbing (opv-modem.cpp:349-477) with an in-process StreamingDemodulator
-and a selectors-based event loop (poll analog of opv-modem.cpp:875-889).
+and a UDPFrameBridge-based event loop (poll analog of opv-modem.cpp:875-889).
 """
 
 from __future__ import annotations
 
 import argparse
-import selectors
+
 import signal
 import socket
 import sys
@@ -156,25 +156,19 @@ def main(argv=None) -> int:
     # =====================================================================
     # TX / LOOPBACK / MONITOR: UDP server loop (opv-modem.cpp:840-1006)
     # =====================================================================
-    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    from opv_tpu.io.udp import UDPFrameBridge
     try:
-        srv.bind(("", args.port))
+        bridge = UDPFrameBridge(port=args.port)
     except OSError:
         print(f"Error binding to port {args.port}", file=err)
         return 1
-    srv.setblocking(False)
 
     sd = StreamingDemodulator() if args.loopback else None
     mod_state = mod_reset()
     iq_out = open(args.iq_file, "wb") if args.iq_file else None
-    last_sender = [None]
 
     if not args.quiet:
         print(f"✓ Listening on UDP port {args.port}...\n", file=err)
-
-    sel = selectors.DefaultSelector()
-    sel.register(srv, selectors.EVENT_READ)
 
     def deliver(results):
         for fbytes, metric, q, _idx in results:
@@ -191,26 +185,15 @@ def main(argv=None) -> int:
                 new = base40_decode(fbytes[:6])
                 print(f"RX {frames_rx[0]}: {orig} → {new}" if rewrite_bytes
                       else f"RX {frames_rx[0]}: {new}", file=err)
-            if last_sender[0] is not None:
-                dest = last_sender[0]
-                if args.response_port > 0:
-                    dest = (dest[0], args.response_port)
-                srv.sendto(fbytes, dest)
+            bridge.send(fbytes, response_port=args.response_port or None)
 
     while running[0]:
-        events = sel.select(timeout=0.1)
-        for key, _ in events:
-            try:
-                data, sender = srv.recvfrom(4096)
-            except BlockingIOError:
-                continue
-            if len(data) != fb_len:
-                continue
+        for data in bridge.poll(timeout=0.1):
             frames_tx[0] += 1
-            last_sender[0] = sender
             if args.verbose:
                 sid = base40_decode(data[:6])
                 tok = int.from_bytes(data[6:9], "big")
+                sender = bridge.last_sender
                 print(f"TX {frames_tx[0]}: {sid} [0x{tok:x}] from "
                       f"{sender[0]}:{sender[1]}", file=err)
             frame = np.frombuffer(data, dtype=np.uint8).reshape(1, fb_len)
@@ -231,6 +214,7 @@ def main(argv=None) -> int:
         # drain frames still buffered in the demodulator (the leftover tail
         # can hold the final frame's samples)
         deliver(sd.flush())
+    bridge.close()
     if iq_out:
         from opv_tpu.tx import tx_flush_zeros
         iq_out.write(tx_flush_zeros().astype("<i2").tobytes())

@@ -19,7 +19,7 @@ def iq_bytes_to_complex(buf: bytes | bytearray | memoryview,
     """Interleaved int16 LE bytes -> (N,) complex samples (I + jQ)."""
     nb = (len(buf) // 4) * 4          # drop any trailing partial sample
     if HAVE_NATIVE and dtype == np.complex64:
-        return np.frombuffer(_iqio.iq_to_c64(bytes(buf[:nb])), dtype=np.complex64)
+        return np.frombuffer(_iqio.iq_to_c64(buf[:nb]), dtype=np.complex64)
     a = np.frombuffer(buf[:nb] if nb != len(buf) else buf, dtype="<i2")
     a = a.reshape(-1, 2)
     return (a[:, 0].astype(np.float64) + 1j * a[:, 1].astype(np.float64)).astype(dtype)
@@ -34,7 +34,10 @@ def complex_to_iq_bytes(samples: np.ndarray) -> bytes:
     """(N,) complex (already scaled to int16 range) -> wire bytes.
     Truncates toward zero like the reference's static_cast<int16_t>, with
     saturation at the int16 rails."""
-    if HAVE_NATIVE:
+    if HAVE_NATIVE and samples.dtype == np.complex64:
+        # float64 input must NOT take this path: rounding to float32 before
+        # truncation can flip values one ulp below an integer, breaking the
+        # reference's double-cast semantics
         inter = np.empty((len(samples), 2), dtype=np.float32)
         inter[:, 0] = samples.real
         inter[:, 1] = samples.imag

@@ -24,21 +24,26 @@ class UDPFrameBridge:
         self.last_sender: tuple[str, int] | None = None
         self.rx_count = 0
         self.tx_count = 0
+        self._sel = selectors.DefaultSelector()
+        self._sel.register(self.sock, selectors.EVENT_READ)
 
     def fileno(self) -> int:
         return self.sock.fileno()
 
     def receive(self) -> bytes | None:
-        """One frame if available (exact frame size enforced), else None."""
-        try:
-            data, sender = self.sock.recvfrom(4096)
-        except BlockingIOError:
-            return None
-        if len(data) != CONFIG.frame_bytes:
-            return None
-        self.last_sender = sender
-        self.rx_count += 1
-        return data
+        """One frame if available, else None.  Malformed (wrong-size)
+        datagrams are discarded and draining continues — they must not mask
+        valid frames queued behind them."""
+        while True:
+            try:
+                data, sender = self.sock.recvfrom(4096)
+            except BlockingIOError:
+                return None
+            if len(data) != CONFIG.frame_bytes:
+                continue
+            self.last_sender = sender
+            self.rx_count += 1
+            return data
 
     def send(self, frame: bytes, dest: tuple[str, int] | None = None,
              response_port: int | None = None) -> bool:
@@ -58,15 +63,13 @@ class UDPFrameBridge:
 
     def poll(self, timeout: float = 0.1):
         """Yield frames arriving within timeout seconds."""
-        sel = selectors.DefaultSelector()
-        sel.register(self.sock, selectors.EVENT_READ)
-        if sel.select(timeout=timeout):
+        if self._sel.select(timeout=timeout):
             while True:
                 f = self.receive()
                 if f is None:
                     break
                 yield f
-        sel.close()
 
     def close(self) -> None:
+        self._sel.close()
         self.sock.close()

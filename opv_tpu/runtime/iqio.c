@@ -81,18 +81,32 @@ static PyObject *read_exact(PyObject *self, PyObject *args) {
   char *buf = PyBytes_AS_STRING(out);
   Py_ssize_t got = 0;
   int err = 0;
-  Py_BEGIN_ALLOW_THREADS
+  int interrupted = 0;
   while (got < want) {
-    ssize_t r = read(fd, buf + got, (size_t)(want - got));
+    ssize_t r;
+    Py_BEGIN_ALLOW_THREADS
+    r = read(fd, buf + got, (size_t)(want - got));
+    Py_END_ALLOW_THREADS
     if (r < 0) {
-      if (errno == EINTR) continue;
+      if (errno == EINTR) {
+        /* PEP 475: run Python signal handlers (Ctrl+C must interrupt a
+         * blocked read) before retrying */
+        if (PyErr_CheckSignals() != 0) {
+          interrupted = 1;
+          break;
+        }
+        continue;
+      }
       err = errno;
       break;
     }
     if (r == 0) break; /* EOF */
     got += r;
   }
-  Py_END_ALLOW_THREADS
+  if (interrupted) {
+    Py_DECREF(out);
+    return NULL;
+  }
   if (err) {
     Py_DECREF(out);
     errno = err;

@@ -22,7 +22,12 @@ class WidebandReceiver:
         self.k = k
         self.taps = taps_per_branch
         self._hist_len = k * taps_per_branch - 1     # conv VALID history
-        self._carry = np.zeros(0, np.complex64)      # history + K-remainder
+        self._carry = np.zeros(0, np.complex64)      # history + remainder
+        # fixed processing quantum: channelize jit-compiles per input length,
+        # so ragged feeds would otherwise trigger up to K recompilations
+        # (20-120 s each through a TPU tunnel); only flush sees one ragged
+        # tail compile
+        self._quantum = k * 65536
         self.demod = MultiChannelDemodulator(channels=k,
                                              block_frames=block_frames)
 
@@ -34,20 +39,32 @@ class WidebandReceiver:
         x = np.concatenate([self._carry,
                             np.asarray(wideband, dtype=np.complex64)])
         h = self._hist_len
-        # consume whole K-sample commutator cycles past the filter history;
-        # carry BOTH the history tail and the sub-cycle remainder forward so
+        results = []
+        # consume fixed quanta past the filter history (one compiled shape);
+        # carry BOTH the history tail and the remainder forward so
         # channelization is streaming-exact (no dropped samples)
-        if len(x) < h + self.k:
-            self._carry = x
-            return []
-        usable = h + ((len(x) - h) // self.k) * self.k
-        consumed = x[:usable]
-        self._carry = x[usable - h:]
-        y = np.asarray(channelize(jnp.asarray(consumed), self.k, self.taps))
-        return self.demod.feed(y)
+        while len(x) >= h + self._quantum:
+            consumed = x[: h + self._quantum]
+            x = x[self._quantum:]
+            y = np.asarray(channelize(jnp.asarray(consumed), self.k, self.taps))
+            results.extend(self.demod.feed(y))
+        self._carry = x
+        return results
 
     def flush(self):
-        return self.demod.flush()
+        import jax.numpy as jnp
+
+        h = self._hist_len
+        x = self._carry
+        results = []
+        if len(x) >= h + self.k:
+            # one ragged-tail compile at end of stream
+            usable = h + ((len(x) - h) // self.k) * self.k
+            y = np.asarray(channelize(jnp.asarray(x[:usable]), self.k, self.taps))
+            results.extend(self.demod.feed(y))
+        self._carry = np.zeros(0, np.complex64)
+        results.extend(self.demod.flush())
+        return results
 
     @property
     def decoded(self):
