@@ -44,18 +44,22 @@ def run(platform_override=None):
     if platform != "cpu":
         # pre-flight: a wedged tunnel hangs inside uninterruptible fetches,
         # so probe with a hard thread-watchdog and bail fast (the parent
-        # retries / falls back instead of burning the whole budget)
+        # retries / falls back instead of burning the whole budget).  The
+        # probe must be a JITTED call — eager-op dispatch can hang while jit
+        # executables still work on this tunnel — and the budget allows for
+        # a slow (but functional) remote compile.
         import threading, os
         done = threading.Event()
 
         def _watch():
-            if not done.wait(90):
-                log("pre-flight probe hung (>90 s); aborting attempt")
+            if not done.wait(150):
+                log("pre-flight probe hung (>150 s); aborting attempt")
                 os._exit(3)
 
         threading.Thread(target=_watch, daemon=True).start()
         t0 = time.time()
-        assert float(jnp.ones((8, 128)).sum()) == 1024.0
+        probe = jax.jit(lambda: jnp.ones((8, 128)).sum())
+        assert float(probe()) == 1024.0
         done.set()
         log(f"pre-flight ok ({time.time() - t0:.1f}s)")
 
@@ -163,7 +167,7 @@ def main() -> int:
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--attempt"],
-                timeout=420, capture_output=True, text=True)
+                timeout=480, capture_output=True, text=True)
             sys.stderr.write(r.stderr)
             line = next((l for l in r.stdout.splitlines()
                          if l.startswith('{"metric"')), None)
@@ -176,7 +180,7 @@ def main() -> int:
             if e.stderr:
                 sys.stderr.write(e.stderr if isinstance(e.stderr, str)
                                  else e.stderr.decode())
-            log(f"accelerator attempt {attempt + 1} exceeded 7 min")
+            log(f"accelerator attempt {attempt + 1} exceeded 8 min")
     log("falling back to CPU")
     msps, _ = run("cpu")
     _emit(msps)
