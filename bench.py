@@ -163,7 +163,10 @@ def main() -> int:
     # tunnel blocks inside uninterruptible C fetches where SIGALRM never
     # fires, so in-process watchdogs cannot save us.
     import subprocess
-    for attempt in range(2):
+    import time as _time
+    for attempt in range(3):
+        if attempt:
+            _time.sleep(60)     # a flapping tunnel sometimes recovers
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--attempt"],
