@@ -11,7 +11,14 @@ Options:
   -o HZ     initial frequency offset (skips the coarse estimate)
   -p HZ     PLL bandwidth (coherent only; accepted for compat)
   --fast    feed-forward batched TPU pipeline instead of the
-            reference-parity tracking loop (batch mode only)
+            reference-parity tracking loop.  In streaming mode this runs
+            the locked-grid production engine (stream/locked.py):
+            acquisition once, symbol-rate steady body, flywheel +
+            re-acquisition on lock loss
+  --channels N
+            (with -s --fast) demodulate N concurrent channels; the input
+            stream is sample-interleaved across channels
+            (I0 Q0 I1 Q1 ... I{N-1} Q{N-1} per sample instant)
   --device  jax platform (default cpu)
 
 Exit code 0 iff at least one frame decoded (opv-demod.cpp:1124, 1216).
@@ -34,6 +41,7 @@ def main(argv=None) -> int:
     ap.add_argument("-o", dest="init_offset", type=float, default=None)
     ap.add_argument("-h", action="store_true", dest="help")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--channels", type=int, default=1)
     ap.add_argument("--device", default="cpu")
     ap.add_argument("--metrics", dest="metrics_file", default=None,
                     help="write JSON-lines metrics snapshots to FILE "
@@ -79,35 +87,47 @@ def main(argv=None) -> int:
     # STREAMING MODE (--fast: feed-forward overlap-save blocks)
     # =====================================================================
     if args.streaming and args.fast:
-        from opv_tpu.stream import MultiChannelDemodulator
+        from opv_tpu.stream import LockedStreamDemodulator
         for flag, name in ((args.init_offset is not None, "-o"),
                            (args.afc_bw != 0.001, "-a"),
                            (args.metrics_file, "--metrics")):
             if flag:
                 print(f"Warning: {name} is ignored in --fast streaming mode "
-                      f"(feed-forward pipeline re-estimates CFO per block "
-                      f"and has no AFC loop)", file=err)
-        mc = MultiChannelDemodulator(channels=1)
-        decoded = perfect = 0
+                      f"(feed-forward pipeline re-estimates CFO on "
+                      f"acquisition and has no AFC loop)", file=err)
+        nch = max(1, args.channels)
+        mc = LockedStreamDemodulator(channels=nch)
         n_samples = 0
+        carry = b""
+        # each multichannel sample instant is nch interleaved IQ pairs
+        quantum = 4 * nch
+
+        n_emitted = 0
+
+        def handle(results):
+            nonlocal n_emitted
+            for c, fb, metric, q, _pos in results:
+                n_emitted += 1
+                if not args.quiet and nch > 1:
+                    print(f"[ch {c}]", file=err)
+                emit_frame(n_emitted, fb, metric, q)
+
         while True:
             buf = stdin.read(65536 * 16)
             if not buf:
                 break
-            x = iq_bytes_to_complex(buf, dtype=np.complex64)
+            buf = carry + buf
+            usable = len(buf) - len(buf) % quantum
+            carry = buf[usable:]
+            x = iq_bytes_to_complex(buf[:usable], dtype=np.complex64)
             n_samples += len(x)
-            for _c, fb, metric, q, _pos in mc.feed(x[None, :]):
-                decoded += 1
-                perfect += int(metric == 0)
-                emit_frame(decoded, fb, metric, q)
-        for _c, fb, metric, q, _pos in mc.flush():
-            decoded += 1
-            perfect += int(metric == 0)
-            emit_frame(decoded, fb, metric, q)
+            handle(mc.feed(x.reshape(-1, nch).T))
+        handle(mc.flush())
         if not args.quiet:
-            summary(decoded, perfect, n_samples / CONFIG.sample_rate,
-                    n_samples // CONFIG.samples_per_symbol, "-", 0.0)
-        return 0 if decoded > 0 else 1
+            summary(mc.decoded, mc.perfect,
+                    n_samples / nch / CONFIG.sample_rate,
+                    n_samples // nch // CONFIG.samples_per_symbol, "-", 0.0)
+        return 0 if mc.decoded > 0 else 1
 
     if args.streaming:
         from opv_tpu.stream import StreamingDemodulator

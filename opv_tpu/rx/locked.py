@@ -59,6 +59,45 @@ def acquire_grid(raw: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(jnp.where(near, window, -jnp.inf), axis=-1).astype(jnp.int32)
 
 
+def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray):
+    """Earliest VERIFIED sync position over the WHOLE dense range.
+
+    The reference's HUNTING state scans every symbol and locks at the first
+    position meeting BOTH thresholds (norm >= 0.85 AND raw >= 5000,
+    src/opv-demod.cpp:783-786); this is the batched equivalent for
+    re-acquisition, so a burst starting anywhere inside the block is found
+    immediately instead of waiting to drift into the first frame interval.
+
+    Deliberate improvement over parity: the reference's VERIFYING state
+    emits the candidate frame unconditionally (src/opv-demod.cpp:657-680),
+    so a single noise spike can false-lock it off the real grid, costing up
+    to sync_miss_limit real frames until the flywheel drops.  Here a
+    candidate only qualifies if the NEXT frame's sync (one frame interval
+    later) also re-checks at the locked threshold — noise cannot produce
+    two aligned syncs, so the earliest verified candidate IS the burst.
+    (Consequence: an isolated single-frame burst does not lock this path;
+    use the reference-parity tracking pipeline for that traffic pattern.)
+
+    Returns ((C,) p0, (C,) found).  Where found is False, p0 is meaningless
+    (callers keep their previous state; sync-quality gates reject frames).
+    """
+    cand = (norm >= CONFIG.sync_hunt_norm_thresh) & \
+           (raw >= CONFIG.sync_hunt_raw_thresh)
+    # next-frame re-check, shifted gather-free: pad right then slice
+    recheck = norm >= CONFIG.sync_locked_norm_thresh
+    spf = _FS * _SPS
+    nxt = jnp.pad(recheck, ((0, 0), (0, spf)))[:, spf:]
+    cand = cand & nxt
+    found = cand.any(axis=-1)
+    first = jnp.argmax(cand, axis=-1).astype(jnp.int32)[:, None]
+    idx = jnp.arange(raw.shape[-1], dtype=jnp.int32)[None, :]
+    # the normalized metric saturates over a plateau; refine to the raw peak
+    # within one symbol of the first qualifying position
+    near = (idx >= first) & (idx < first + _SPS)
+    p0 = jnp.argmax(jnp.where(near, raw, -jnp.inf), axis=-1).astype(jnp.int32)
+    return p0, found
+
+
 def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
                        nsym: int) -> jnp.ndarray:
     """Phase-align every channel at its r (python-unrolled UNBATCHED
@@ -88,8 +127,46 @@ def rx_locked_steady(samples: jnp.ndarray, p0: jnp.ndarray,
     multiple of 86,720 samples keep p0 invariant, so no re-acquisition is
     needed — exactly like the reference's LOCKED state, which only re-checks
     sync (our per-frame sync_q) rather than re-hunting.  Lock loss shows up
-    as sync_q collapsing; callers then rerun rx_locked.
+    as sync_q collapsing; stream.locked.LockedStreamDemodulator watches the
+    per-frame q and drives rx_locked_reacquire for the channels that lost it.
     """
+    return _locked_body(samples, p0, freq_offset, n_frames)
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
+                        freq_offset_old: jnp.ndarray, keep: jnp.ndarray,
+                        n_frames: int):
+    """Selective re-acquisition: re-hunt only the channels that lost lock.
+
+    Mirrors the reference's LOCKED -> HUNTING fallback
+    (src/opv-demod.cpp:695-713): channels with `keep=True` retain their
+    grid (p0) and CFO; the rest get a fresh CFO estimate + dense sync
+    acquisition over this block.  Returns the same dict as rx_locked with
+    the merged p0/freq_offset, so streaming drivers can run this whenever
+    any channel is unlocked and rx_locked_steady otherwise.
+    """
+    from opv_tpu.rx.cfo import estimate_cfo_batch
+    c = samples.shape[0]
+    # Hunt with the carried CFO (zero for never-locked channels): the
+    # 40-sample tone correlation loses <2% even at the full +-2 kHz AFC
+    # clamp, so CFO error cannot hide a sync from the hunt.
+    hunt_foff = jnp.where(keep, freq_offset_old,
+                          jnp.zeros_like(freq_offset_old))
+    soft_h = dense_soft(samples, hunt_foff)
+    raw, norm = dense_sync(soft_h)
+    p0_new, found = hunt_grid(raw, norm)
+    p0 = jnp.where(keep | ~found, p0_old, p0_new)
+    # CFO estimated on one frame interval AT the acquired position (the
+    # block may hold noise before a mid-block burst; estimating from the
+    # block head would be meaningless there).  Python-unrolled unbatched
+    # dynamic_slices: batched gathers don't lower on all TPU runtimes.
+    seg = jnp.stack([
+        jax.lax.dynamic_slice(samples[ci], (p0[ci],), (_FS * _SPS,))
+        for ci in range(c)
+    ])
+    cfo_new = estimate_cfo_batch(seg).astype(jnp.float32)
+    freq_offset = jnp.where(keep, freq_offset_old, cfo_new)
     return _locked_body(samples, p0, freq_offset, n_frames)
 
 
@@ -128,28 +205,37 @@ def _locked_body(samples, p0, freq_offset, n_frames: int):
 
     # --- payload extraction: one slice per channel + static reshape ---
     span = n_frames * _FS
-    start_max = nsym - span
+    # zero-pad the symbol stream so a sync acquired ANYWHERE in the window
+    # (hunt_grid can return p0 deep inside the block) still yields a full
+    # static slice; frames extending into the padding read zero soft values
+    # and are rejected by the sync-quality gate / the caller's fit check
+    soft = jnp.pad(soft, ((0, 0), (0, span)))
     payloads = []
     qs = []
+    raws = []
     pat = jnp.asarray(sync_pattern(), soft.dtype)
     for ci in range(c):
-        start = jnp.clip(k0[ci], 0, start_max)
+        start = jnp.clip(k0[ci], 0, nsym)
         w = jax.lax.dynamic_slice(soft[ci], (start,), (span,))
         fr = w.reshape(n_frames, _FS)
         payloads.append(fr[:, _SB:])
         sync_w = fr[:, :_SB]
         from opv_tpu.rx.sync import normalized_sync
-        qs.append(normalized_sync(sync_w @ pat, jnp.abs(sync_w).sum(-1)))
+        raw_c = sync_w @ pat
+        raws.append(raw_c)
+        qs.append(normalized_sync(raw_c, jnp.abs(sync_w).sum(-1)))
     payloads = jnp.stack(payloads)        # (C, F, 2144)
     q = jnp.stack(qs)                     # (C, F)
+    raw = jnp.stack(raws)                 # (C, F)
 
     flat = payloads.reshape(-1, _EB)
     frames, metrics, ok = decode_payloads(flat)
-    fv = ok.reshape(c, n_frames) & (q >= CONFIG.sync_locked_norm_thresh)
+    ok = ok.reshape(c, n_frames)
+    fv = ok & (q >= CONFIG.sync_locked_norm_thresh)
     return dict(
         frames=frames.reshape(c, n_frames, CONFIG.frame_bytes),
         metrics=metrics.reshape(c, n_frames),
-        frame_valid=fv, sync_q=q, p0=p0,
+        frame_valid=fv, sync_q=q, sync_raw=raw, decode_ok=ok, p0=p0,
         freq_offset=freq_offset,
         n_decoded=fv.sum(),
     )

@@ -1,9 +1,11 @@
 from opv_tpu.stream.chunked import StreamingDemodulator
+from opv_tpu.stream.locked import LockedStreamDemodulator
 from opv_tpu.stream.multichannel import MultiChannelDemodulator
 from opv_tpu.stream.tracking import MultiChannelTrackingDemodulator
 from opv_tpu.stream.wideband import WidebandReceiver
 from opv_tpu.stream.state import save_state, load_state
 
-__all__ = ["StreamingDemodulator", "MultiChannelDemodulator",
+__all__ = ["StreamingDemodulator", "LockedStreamDemodulator",
+           "MultiChannelDemodulator",
            "MultiChannelTrackingDemodulator", "WidebandReceiver",
            "save_state", "load_state"]

@@ -1,0 +1,218 @@
+"""Locked-grid streaming driver — the production multichannel engine.
+
+Wraps rx_locked / rx_locked_steady (rx/locked.py) in a stateful
+block-streaming class with the reference's sync lifecycle
+(src/opv-demod.cpp:615-736) mapped onto the locked-grid pipeline:
+
+  * HUNTING: unlocked channels re-acquire every block (CFO grid + dense
+    sync acquisition, rx_locked_reacquire) — the reference's coarse
+    estimate + HUNTING state.  A channel locks when a frame's sync meets
+    the hunting thresholds (norm >= 0.85 AND raw >= 5000,
+    src/opv-demod.cpp:783-786).
+  * LOCKED: all-locked blocks run rx_locked_steady — pure symbol-rate
+    body, no acquisition (the reference's LOCKED state, which re-checks
+    sync at frame rate instead of re-hunting).  Each frame's sync quality
+    is the re-check; q >= 0.70 keeps the lock.
+  * FLYWHEEL: up to sync_miss_limit (5) consecutive sub-threshold syncs
+    still emit frames on the predicted grid (src/opv-demod.cpp:60,
+    697-713); one more miss drops the channel back to HUNTING.
+
+Blocks advance by an exact multiple of 86,720 samples so p0 (the sync
+sample position within the window) is invariant across blocks for locked
+channels — re-acquisition only happens on lock loss, making the steady
+path ~40x cheaper than dense correlation (see rx/locked.py).
+
+The sample buffer is device-resident: callers may feed jax arrays that
+never touch the host (bench.py does), and only decoded frames/scalars are
+fetched.  All channels advance in lockstep; each block is ONE jit-compiled
+device invocation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from opv_tpu.config import CONFIG
+
+
+class LockedStreamDemodulator:
+    """Feed (C, n) complex sample blocks; yields (channel, frame_bytes,
+    metric, sync_quality, abs_sample_pos) tuples, where abs_sample_pos is
+    the absolute stream index of the frame's sync-word start."""
+
+    def __init__(self, channels: int, block_frames: int = 4):
+        import jax
+        import jax.numpy as jnp
+        from opv_tpu.rx.locked import rx_locked_reacquire, rx_locked_steady
+
+        self.channels = channels
+        self.block_frames = block_frames
+        spf = CONFIG.samples_per_frame
+        self.spf = spf
+        self.advance = block_frames * spf
+        # window: p0 < 86,720 plus block_frames full frames plus enough
+        # slack (1040 = sync window + correlator tail + margin) that
+        # hunt_grid's next-frame verification covers every sync position
+        # owned by this block (p < advance needs norm at p + spf)
+        self.window = (block_frames + 1) * spf + 1040
+        self._jnp = jnp
+
+        self._buf = jnp.zeros((channels, self.window), jnp.complex64)
+        self._count = 0                 # valid samples in buffer
+        self._abs_base = 0              # absolute index of buffer sample 0
+
+        # per-channel lock state (host side: tiny, drives which program runs)
+        self.p0 = np.zeros(channels, np.int32)
+        self.freq_offset = np.zeros(channels, np.float32)
+        self.locked = np.zeros(channels, bool)
+        self.miss = np.zeros(channels, np.int32)    # consecutive sync misses
+
+        self.decoded = 0
+        self.perfect = 0
+        self.reacquisitions = 0          # blocks that ran the re-acquire path
+
+        bf = block_frames
+
+        def steady(buf, p0, foff):
+            return rx_locked_steady(buf, p0, foff, n_frames=bf)
+
+        def reacquire(buf, p0, foff, keep):
+            return rx_locked_reacquire(buf, p0, foff, keep, n_frames=bf)
+
+        def append(buf, count, x):
+            return jax.lax.dynamic_update_slice(buf, x, (0, count))
+
+        def slide(buf):
+            kept = buf[:, self.advance:]
+            pad = jnp.zeros((channels, self.advance), buf.dtype)
+            return jnp.concatenate([kept, pad], axis=1)
+
+        self._steady = jax.jit(steady)
+        self._reacquire = jax.jit(reacquire)
+        self._append = jax.jit(append, donate_argnums=(0,))
+        self._slide = jax.jit(slide, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ #
+
+    def feed(self, samples):
+        """samples: (C, n) complex64 (numpy or jax array).  Returns decoded
+        frame tuples for every full window completed by this feed."""
+        jnp = self._jnp
+        if samples.shape[0] != self.channels:
+            raise ValueError(f"expected {self.channels} channels")
+        x = jnp.asarray(samples, jnp.complex64)
+        out = []
+        off = 0
+        n = x.shape[1]
+        while off < n:
+            take = min(self.window - self._count, n - off)
+            self._buf = self._append(self._buf, self._count,
+                                     x[:, off:off + take])
+            self._count += take
+            off += take
+            if self._count >= self.window:
+                out.extend(self._process())
+        return out
+
+    def flush(self):
+        """Process the buffered tail (zero-padded); frames whose payload
+        would extend into the padding are rejected, not emitted corrupt."""
+        min_n = self.spf + CONFIG.samples_per_symbol
+        if self._count < min_n:
+            results = []
+        else:
+            results = self._process(valid_limit=self._count)
+        self._abs_base += self._count
+        self._count = 0
+        self._buf = self._jnp.zeros_like(self._buf)
+        return results
+
+    # ------------------------------------------------------------------ #
+
+    def _process(self, valid_limit: int | None = None):
+        jnp = self._jnp
+        if self.locked.all():
+            out = self._steady(self._buf, jnp.asarray(self.p0),
+                               jnp.asarray(self.freq_offset))
+        else:
+            self.reacquisitions += 1
+            out = self._reacquire(self._buf, jnp.asarray(self.p0),
+                                  jnp.asarray(self.freq_offset),
+                                  jnp.asarray(self.locked))
+        q = np.asarray(out["sync_q"])
+        raw = np.asarray(out["sync_raw"])
+        ok = np.asarray(out["decode_ok"])
+        metrics = np.asarray(out["metrics"])
+        frames = np.asarray(out["frames"])
+        self.p0 = np.asarray(out["p0"])
+        self.freq_offset = np.asarray(out["freq_offset"])
+
+        vlim = self.window if valid_limit is None else valid_limit
+        extent = self.spf + CONFIG.samples_per_symbol  # sync..payload end
+        results = []
+        for c in range(self.channels):
+            for k in range(self.block_frames):
+                pos = int(self.p0[c]) + k * self.spf
+                if pos + extent > vlim:
+                    continue               # tail frame: incomplete samples
+                emit = False
+                if self.locked[c]:
+                    # LOCKED re-check (src/opv-demod.cpp:695-713)
+                    if q[c, k] >= CONFIG.sync_locked_norm_thresh:
+                        self.miss[c] = 0
+                        emit = True
+                    elif self.miss[c] < CONFIG.sync_miss_limit:
+                        self.miss[c] += 1      # flywheel frame
+                        emit = True
+                    else:
+                        self.locked[c] = False
+                        self.miss[c] = 0
+                else:
+                    # HUNTING thresholds (src/opv-demod.cpp:783-786)
+                    if (q[c, k] >= CONFIG.sync_hunt_norm_thresh
+                            and raw[c, k] >= CONFIG.sync_hunt_raw_thresh):
+                        self.locked[c] = True
+                        self.miss[c] = 0
+                        emit = True
+                if emit and ok[c, k]:
+                    self.decoded += 1
+                    if metrics[c, k] == 0:
+                        self.perfect += 1
+                    results.append((c, bytes(frames[c, k]),
+                                    int(metrics[c, k]), float(q[c, k]),
+                                    self._abs_base + pos))
+        if valid_limit is None:
+            self._buf = self._slide(self._buf)
+            self._count -= self.advance
+            self._abs_base += self.advance
+            # grid positions repeat every frame, so after advancing by an
+            # exact frame multiple the equivalent sync position in the new
+            # window is p0 mod 86,720 (valid while the transmission is
+            # continuous — exactly the locked-mode assumption; a gap breaks
+            # sync_q and triggers re-acquisition anyway)
+            self.p0 = self.p0 % self.spf
+        return results
+
+    # ------------------------------------------------------------------ #
+    # checkpoint/resume (stream/state.py)
+
+    def state_tree(self):
+        return dict(
+            buf=self._buf, count=np.int64(self._count),
+            abs_base=np.int64(self._abs_base),
+            p0=self.p0, freq_offset=self.freq_offset,
+            locked=self.locked, miss=self.miss,
+            decoded=np.int64(self.decoded), perfect=np.int64(self.perfect),
+        )
+
+    def load_state_tree(self, tree) -> None:
+        """Adopt a state produced by state_tree() (e.g. via load_state)."""
+        self._buf = self._jnp.asarray(tree["buf"])
+        self._count = int(tree["count"])
+        self._abs_base = int(tree["abs_base"])
+        self.p0 = np.asarray(tree["p0"], np.int32)
+        self.freq_offset = np.asarray(tree["freq_offset"], np.float32)
+        self.locked = np.asarray(tree["locked"], bool)
+        self.miss = np.asarray(tree["miss"], np.int32)
+        self.decoded = int(tree["decoded"])
+        self.perfect = int(tree["perfect"])

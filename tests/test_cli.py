@@ -81,6 +81,36 @@ class TestPipeLoopback:
         assert dem.returncode == 0
         assert dem.stdout == data
 
+    def test_fast_streaming_multichannel(self):
+        """-s --fast --channels 2: sample-interleaved dual-channel stream;
+        both channels decode bit-exactly through the locked engine."""
+        rng = np.random.default_rng(11)
+        d0 = rng.integers(0, 256, 4 * CONFIG.frame_bytes, dtype=np.uint8).tobytes()
+        d1 = rng.integers(0, 256, 4 * CONFIG.frame_bytes, dtype=np.uint8).tobytes()
+        iq0 = run_cli("opv_mod", ["-R", "--fast"], input=d0,
+                      capture_output=True, timeout=600).stdout
+        iq1 = run_cli("opv_mod", ["-R", "--fast"], input=d1,
+                      capture_output=True, timeout=600).stdout
+        a = np.frombuffer(iq0, dtype="<i2").reshape(-1, 2)
+        b = np.frombuffer(iq1, dtype="<i2").reshape(-1, 2)
+        inter = np.stack([a, b], axis=1).reshape(-1, 2)  # (2n, IQ) interleaved
+        dem = subprocess.run(
+            [sys.executable, "-m", "opv_tpu.cli.opv_demod", "-s", "--fast",
+             "--channels", "2", "-q", "-r"],
+            input=inter.astype("<i2").tobytes(), capture_output=True,
+            env=ENV, timeout=600)
+        assert dem.returncode == 0
+        got = dem.stdout
+        assert len(got) == len(d0) + len(d1)
+        # frames from both channels present, each channel's set bit-exact
+        frames = [got[i:i + CONFIG.frame_bytes]
+                  for i in range(0, len(got), CONFIG.frame_bytes)]
+        want = [d0[i:i + CONFIG.frame_bytes]
+                for i in range(0, len(d0), CONFIG.frame_bytes)] + \
+               [d1[i:i + CONFIG.frame_bytes]
+                for i in range(0, len(d1), CONFIG.frame_bytes)]
+        assert sorted(frames) == sorted(want)
+
     def test_usage_errors(self):
         r = run_cli("opv_mod", [], capture_output=True, timeout=120)
         assert r.returncode != 0

@@ -1,0 +1,139 @@
+"""LockedStreamDemodulator: streaming driver for the locked-grid path.
+
+Covers the reference's streaming sync lifecycle (src/opv-demod.cpp:615-736,
+695-713) on the production pipeline: slicing invariance, lock-loss ->
+re-acquisition, flywheel emission, checkpoint/resume, tail flush.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from opv_tpu.config import CONFIG
+from opv_tpu.core import build_bert_frame, encode_frame
+from opv_tpu.stream import LockedStreamDemodulator, save_state, load_state
+from opv_tpu.tx import modulate_frames, tx_flush_zeros
+
+SPF = CONFIG.samples_per_frame
+
+
+def _signal(n_frames, call="W5NYV", start=0):
+    frames = build_bert_frame(call, frame_num=start + np.arange(n_frames))
+    enc = encode_frame(jnp.asarray(frames))
+    iq, _ = modulate_frames(enc, exact=False)
+    iq = np.concatenate([np.asarray(iq), tx_flush_zeros()])
+    s = (iq[:, 0] + 1j * iq[:, 1]).astype(np.complex64)
+    return s, np.asarray(frames)
+
+
+def _run(sd, signal_2d, chunk=None):
+    out = []
+    if chunk is None:
+        out.extend(sd.feed(signal_2d))
+    else:
+        for off in range(0, signal_2d.shape[1], chunk):
+            out.extend(sd.feed(signal_2d[:, off:off + chunk]))
+    out.extend(sd.flush())
+    return out
+
+
+class TestLockedStream:
+    def test_continuous_decode_and_slicing_invariance(self):
+        s, frames = _signal(10)
+        x = np.stack([s, np.concatenate([np.zeros(17, np.complex64), s])[:len(s)]])
+
+        ref = _run(LockedStreamDemodulator(2, block_frames=4), x)
+        # feed again in awkward chunk sizes: identical output tuples
+        odd = _run(LockedStreamDemodulator(2, block_frames=4), x, chunk=123_457)
+        assert ref == odd
+
+        for c in (0, 1):
+            got = [r for r in ref if r[0] == c]
+            assert len(got) == 10
+            assert all(r[2] == 0 for r in got)          # all perfect
+            for k, r in enumerate(got):
+                assert r[1] == bytes(frames[k])
+            # positions advance by exactly one frame on the locked grid
+            pos = [r[4] for r in got]
+            assert np.all(np.diff(pos) == SPF)
+        # channel 1 is delayed by 17 samples (+-1: the raw sync correlation
+        # peak can straddle two samples, either of which decodes perfectly)
+        d = ([r[4] for r in ref if r[0] == 1][0] -
+             [r[4] for r in ref if r[0] == 0][0])
+        assert abs(d - 17) <= 1
+
+    def test_lock_loss_and_reacquire_with_cfo(self):
+        """Burst 1 -> noise gap (lock dropped after 5 flywheel misses) ->
+        burst 2 at a different sample phase AND +500 Hz CFO: the driver must
+        re-hunt (new p0, fresh CFO) and decode burst 2 bit-exactly."""
+        rng = np.random.default_rng(1)
+        s1, f1 = _signal(6)
+        s2, f2 = _signal(6, start=100)
+        gap = (rng.standard_normal(8 * SPF) +
+               1j * rng.standard_normal(8 * SPF)).astype(np.complex64) * 50.0
+        # +500 Hz CFO and 23-sample phase shift on burst 2
+        t = np.arange(len(s2))
+        s2 = (s2 * np.exp(2j * np.pi * 500.0 * t / CONFIG.sample_rate)
+              ).astype(np.complex64)
+        s2 = np.concatenate([np.zeros(23, np.complex64), s2])
+        x = np.concatenate([s1, gap, s2])[None, :]
+
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        out = _run(sd, x)
+        perfect = [r for r in out if r[2] == 0]
+        # burst 1 and burst 2 payloads all present, bit-exact, in order
+        payloads = [r[1] for r in perfect]
+        expected = [bytes(f) for f in f1] + [bytes(f) for f in f2]
+        assert payloads == expected
+        # the driver really did drop lock and re-hunt
+        assert sd.reacquisitions >= 1
+        # no metric-0 phantom decodes from the noise gap
+        b1_end = len(s1)
+        gap_end = b1_end + len(gap)
+        for r in perfect:
+            assert not (b1_end <= r[4] < gap_end - SPF)
+
+    def test_flywheel_emits_through_short_fade(self):
+        """A fade shorter than sync_miss_limit frames: lock must survive
+        (flywheel) and clean frames resume without re-acquisition."""
+        s, frames = _signal(12)
+        x = s.copy()
+        # crush 2 frames in the middle (frames 5-6) to break their sync
+        a, b = 5 * SPF, 7 * SPF
+        x[a:b] *= 0.001
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        out = _run(sd, x[None, :])
+        perfect = [r for r in out if r[2] == 0]
+        # all 10 uncrushed frames decode bit-exactly
+        got = {r[1] for r in perfect}
+        for k in list(range(5)) + list(range(7, 12)):
+            assert bytes(frames[k]) in got
+        assert sd.reacquisitions <= 1        # initial acquisition only
+        assert sd.locked.all()
+
+    def test_checkpoint_resume(self, tmp_path):
+        s, frames = _signal(10)
+        x = np.stack([s, s * np.exp(1j * 0.3).astype(np.complex64)])
+        sd = LockedStreamDemodulator(2, block_frames=4)
+        cut = 6 * SPF + 1000
+        out_a = sd.feed(x[:, :cut])
+        save_state(str(tmp_path / "ckpt"), sd.state_tree())
+
+        sd2 = LockedStreamDemodulator(2, block_frames=4)
+        sd2.load_state_tree(load_state(str(tmp_path / "ckpt"),
+                                       sd.state_tree()))
+        out_b = sd2.feed(x[:, cut:])
+        out_b.extend(sd2.flush())
+
+        ref = _run(LockedStreamDemodulator(2, block_frames=4), x)
+        assert out_a + out_b == ref
+        assert sd2.decoded == 20
+
+    def test_flush_rejects_partial_tail_frame(self):
+        """A stream truncated mid-frame must not emit a corrupt frame."""
+        s, frames = _signal(6)
+        x = s[: 5 * SPF + SPF // 2][None, :]     # frame 5 cut in half
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        out = _run(sd, x)
+        payloads = [r[1] for r in out if r[2] == 0]
+        assert payloads == [bytes(f) for f in frames[:5]]
