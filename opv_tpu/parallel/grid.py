@@ -20,7 +20,8 @@ def rx_grid_sharded(mesh, samples, max_frames_per_shard: int = 8, **kw):
     """Full sharded RX step over mesh axes ('ch', 'time').
 
     samples: (C, T) with C sharded over 'ch' and T sharded over 'time'.
-    Returns (frames (C, ntime*F, 134), owned mask, global decoded count).
+    Returns dict with frames (C, ntime*F, 134), owned mask, starts (global
+    sync sample positions), metrics, sync_q, and the global decoded count n.
     """
     ntime = mesh.shape["time"]
     check_time_shard_geometry(samples.shape[1], ntime)
@@ -28,13 +29,16 @@ def rx_grid_sharded(mesh, samples, max_frames_per_shard: int = 8, **kw):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=P("ch", "time"),
-        out_specs=(P("ch", "time", None), P("ch", "time"), P()),
+        out_specs=(P("ch", "time", None), P("ch", "time"),
+                   P("ch", "time"), P("ch", "time"), P("ch", "time"), P()),
         check_vma=False,
     )
     def run(block):
-        frames, owned = halo_demod(block, ntime, "time",
-                                   max_frames_per_shard, **kw)
+        frames, owned, starts, metrics, q = halo_demod(
+            block, ntime, "time", max_frames_per_shard, **kw)
         n = jax.lax.psum(owned.sum(), ("ch", "time"))
-        return frames, owned, n
+        return frames, owned, starts, metrics, q, n
 
-    return run(samples)
+    frames, owned, starts, metrics, q, n = run(samples)
+    return dict(frames=frames, owned=owned, starts=starts,
+                metrics=metrics, sync_q=q, n=n)

@@ -41,7 +41,10 @@ def check_time_shard_geometry(total_samples: int, ntime: int) -> None:
 def halo_demod(block, ntime: int, time_axis: str,
                max_frames_per_shard: int, **kw):
     """Shared shard-body: right-neighbor halo exchange + feed-forward demod +
-    sync-start ownership.  Returns (frames, owned) for the local block.
+    sync-start ownership.  Returns (frames, owned, sync_starts, metrics,
+    sync_q) for the local block; sync_starts are GLOBAL sample positions
+    (within the whole sharded capture), so streaming drivers can apply
+    cross-batch ownership and report absolute stream indices.
 
     Used by both the pure time-sharded and the (ch x time) grid pipelines so
     the seam logic exists exactly once.
@@ -56,14 +59,17 @@ def halo_demod(block, ntime: int, time_axis: str,
         # phantom frames appear
         halo = jnp.where(idx == ntime - 1, jnp.zeros_like(halo), halo)
         ext = jnp.concatenate([block, halo], axis=1)
+        base = jax.lax.axis_index(time_axis).astype(jnp.int32) * block.shape[1]
     else:
         ext = block
+        base = jnp.int32(0)
     out = rx_fast(ext, max_frames=max_frames_per_shard, **kw)
     # ownership: the frame's sync (sample position = payload start minus the
     # 24-symbol sync word) falls inside the local block, not the halo
     sync_start = out["starts"] - CONFIG.sync_bits * CONFIG.samples_per_symbol
     owned = out["frame_valid"] & (sync_start < block.shape[1])
-    return out["frames"], owned
+    return (out["frames"], owned, base + sync_start, out["metrics"],
+            out["sync_q"])
 
 
 def rx_fast_sharded(mesh, samples, max_frames_per_shard: int = 8, **kw):
@@ -99,13 +105,16 @@ def rx_time_sharded(mesh, samples, max_frames_per_shard: int = 8, **kw):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=P(None, "time"),
-        out_specs=(P(None, "time", None), P(None, "time"), P()),
+        out_specs=(P(None, "time", None), P(None, "time"),
+                   P(None, "time"), P(None, "time"), P(None, "time"), P()),
         check_vma=False,
     )
     def run(block):
-        frames, owned = halo_demod(block, ntime, "time",
-                                   max_frames_per_shard, **kw)
+        frames, owned, starts, metrics, q = halo_demod(
+            block, ntime, "time", max_frames_per_shard, **kw)
         n = jax.lax.psum(owned.sum(), "time")
-        return frames, owned, n
+        return frames, owned, starts, metrics, q, n
 
-    return run(samples)
+    frames, owned, starts, metrics, q, n = run(samples)
+    return dict(frames=frames, owned=owned, starts=starts,
+                metrics=metrics, sync_q=q, n=n)

@@ -1,0 +1,170 @@
+"""Sharded streaming driver: rx_grid_sharded over successive block batches.
+
+The reference handles unbounded input with chunked streaming + state
+carryover (src/opv-demod.cpp:1069-1077).  The sharded equivalent drives the
+(ch x time) grid pipeline (parallel/grid.py) over a ROLLING window:
+
+  * each step processes a window of ntime*shard_samples samples sharded over
+    the mesh (intra-window seams handled by the ppermute halo exchange in
+    parallel/sharded.halo_demod);
+  * the window then slides by `window - HALO_SAMPLES`, so the retained tail
+    (one full frame + sync of lookback) is re-processed at the head of the
+    next window — any frame straddling the BATCH seam decodes there;
+  * cross-batch ownership is exact, not heuristic: a frame whose sync-word
+    starts at absolute sample s is decodable in a window ending at absolute
+    sample e iff s + samples_per_frame <= e (the `fits` rule inside
+    rx/fast.py::detect_frames expressed in sample coordinates, which the
+    halo geometry makes uniform across shards).  A frame is therefore
+    emitted by the FIRST window it fits, and deduplicated in later windows
+    by `s + samples_per_frame > previous_window_end`.
+
+This is the seam-state handoff stream/state.py promises: the carry between
+sharded batches is the tail-sample window plus the absolute-position
+counters, all exposed via state_tree() for checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from opv_tpu.config import CONFIG
+from opv_tpu.parallel.sharded import HALO_SAMPLES
+
+
+class ShardedStreamDemodulator:
+    """Feed (C, n) complex sample blocks; yields (channel, frame_bytes,
+    metric, sync_quality, abs_sample_pos) tuples (same contract as
+    LockedStreamDemodulator), decoding each frame exactly once even when it
+    straddles a batch (window) boundary on any shard.
+
+    mesh must carry axes 'ch' and 'time'; C must be divisible by the 'ch'
+    axis size.  shard_samples is the per-time-shard window slice (defaults
+    to the minimum legal: the halo length rounded up to a lane multiple).
+    """
+
+    def __init__(self, mesh, channels: int, shard_samples: int | None = None,
+                 max_frames_per_shard: int = 8, **kw):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.mesh = mesh
+        self.channels = channels
+        nch = mesh.shape["ch"]
+        ntime = mesh.shape["time"]
+        if channels % nch:
+            raise ValueError(f"{channels} channels not divisible by "
+                             f"ch-axis size {nch}")
+        if shard_samples is None:
+            shard_samples = -(-HALO_SAMPLES // 128) * 128
+        if shard_samples < HALO_SAMPLES:
+            raise ValueError(f"shard_samples {shard_samples} < halo "
+                             f"{HALO_SAMPLES}; seam frames would vanish")
+        self.shard_samples = shard_samples
+        self.window = ntime * shard_samples
+        self.advance = self.window - HALO_SAMPLES
+        spf = CONFIG.samples_per_frame
+        if self.advance < spf:
+            raise ValueError(
+                f"window {self.window} advances by {self.advance} < one "
+                f"frame ({spf}); a sync landing on the last sample of a "
+                f"window could never fit the next — grow shard_samples or "
+                f"the time axis")
+        self.max_frames_per_shard = max_frames_per_shard
+        self._kw = kw
+
+        self._buf = np.zeros((channels, self.window), np.complex64)
+        self._count = 0          # valid samples in the buffer
+        self._abs_base = 0       # absolute stream index of buffer sample 0
+        self._prev_end = 0       # absolute end of the last processed window
+        self.decoded = 0
+        self.perfect = 0
+
+    # ------------------------------------------------------------------ #
+
+    def feed(self, samples):
+        """samples: (C, n) complex (numpy or jax).  Returns decoded frame
+        tuples for every full window completed by this feed."""
+        x = np.asarray(samples, np.complex64)
+        if x.shape[0] != self.channels:
+            raise ValueError(f"expected {self.channels} channels")
+        out = []
+        off = 0
+        n = x.shape[1]
+        while off < n:
+            take = min(self.window - self._count, n - off)
+            self._buf[:, self._count:self._count + take] = x[:, off:off + take]
+            self._count += take
+            off += take
+            if self._count >= self.window:
+                out.extend(self._process())
+        return out
+
+    def flush(self):
+        """Process the buffered tail (zero-padded to the window geometry);
+        only frames entirely inside the valid samples are emitted."""
+        if self._count == 0:
+            return []
+        self._buf[:, self._count:] = 0
+        results = self._process(valid_limit=self._count)
+        self._abs_base += self._count
+        self._count = 0
+        self._buf[:] = 0
+        return results
+
+    # ------------------------------------------------------------------ #
+
+    def _process(self, valid_limit: int | None = None):
+        from opv_tpu.parallel.grid import rx_grid_sharded
+
+        out = rx_grid_sharded(self.mesh, self._jnp.asarray(self._buf),
+                              max_frames_per_shard=self.max_frames_per_shard,
+                              **self._kw)
+        owned = np.asarray(out["owned"])          # (C, ntime*F)
+        starts = np.asarray(out["starts"])        # window-relative sync pos
+        metrics = np.asarray(out["metrics"])
+        q = np.asarray(out["sync_q"])
+        frames = np.asarray(out["frames"])
+
+        spf = CONFIG.samples_per_frame
+        vlim = self.window if valid_limit is None else valid_limit
+        valid_end = self._abs_base + vlim
+        results = []
+        for c in range(self.channels):
+            for k in np.nonzero(owned[c])[0]:
+                s_abs = self._abs_base + int(starts[c, k])
+                if s_abs + spf <= self._prev_end:
+                    continue            # already emitted by an earlier window
+                if s_abs + spf > valid_end:
+                    continue            # tail frame: incomplete samples
+                self.decoded += 1
+                if metrics[c, k] == 0:
+                    self.perfect += 1
+                results.append((c, bytes(frames[c, k]), int(metrics[c, k]),
+                                float(q[c, k]), s_abs))
+        self._prev_end = valid_end
+        if valid_limit is None:
+            keep = self.window - self.advance
+            self._buf[:, :keep] = self._buf[:, self.advance:]
+            self._buf[:, keep:] = 0
+            self._count = keep
+            self._abs_base += self.advance
+        return results
+
+    # ------------------------------------------------------------------ #
+    # checkpoint/resume (stream/state.py)
+
+    def state_tree(self):
+        return dict(
+            buf=self._buf.copy(), count=np.int64(self._count),
+            abs_base=np.int64(self._abs_base),
+            prev_end=np.int64(self._prev_end),
+            decoded=np.int64(self.decoded), perfect=np.int64(self.perfect),
+        )
+
+    def load_state_tree(self, tree) -> None:
+        self._buf = np.asarray(tree["buf"], np.complex64).copy()
+        self._count = int(tree["count"])
+        self._abs_base = int(tree["abs_base"])
+        self._prev_end = int(tree["prev_end"])
+        self.decoded = int(tree["decoded"])
+        self.perfect = int(tree["perfect"])

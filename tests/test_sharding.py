@@ -59,9 +59,14 @@ class TestTimeSharded:
         s_pad = np.concatenate([s, pad])
         mesh = make_mesh({"time": ntime})
         samples = jnp.asarray(s_pad[None, :])
-        out_frames, owned, n = rx_time_sharded(mesh, samples,
-                                               max_frames_per_shard=6)
-        assert int(n) == len(frames)
-        got = np.asarray(out_frames)[0][np.asarray(owned)[0]]
+        out = rx_time_sharded(mesh, samples, max_frames_per_shard=6)
+        assert int(out["n"]) == len(frames)
+        owned = np.asarray(out["owned"])
+        got = np.asarray(out["frames"])[0][owned[0]]
+        # global sync positions: frame i's sync word starts at i*86,720
+        # (+-1 sample peak ambiguity under shard-local CFO estimates)
+        starts = np.asarray(out["starts"])[0][owned[0]]
+        ref = np.arange(len(frames)) * CONFIG.samples_per_frame
+        assert np.abs(starts - ref).max() <= 1
         # order within shards is ascending; shards concatenate in time order
         np.testing.assert_array_equal(got, frames)

@@ -80,13 +80,13 @@ def main() -> int:
             return rx_grid_sharded(mesh, samples, max_frames_per_shard=fpd + 2)
 
         out = run()
-        decoded = int(out[2])
+        decoded = int(out["n"])
         expect = n * fpd
         times = []
         for _ in range(3):
             t0 = time.time()
             out = run()
-            _ = int(out[2])
+            _ = int(out["n"])
             times.append(time.time() - t0)
         dt = min(times)
         msps = samples.size / dt / 1e6
