@@ -118,17 +118,37 @@ def dense_sync(soft: jnp.ndarray):
     return raw, normalized_sync(raw, energy)
 
 
-def detect_frames(raw: jnp.ndarray, norm: jnp.ndarray, m_soft: int,
+def detect_frames(raw: jnp.ndarray, norm: jnp.ndarray, soft: jnp.ndarray,
                   max_frames: int):
     """Find frame sync positions: threshold + local max over +-SPS/2.
 
-    Returns (starts (C, F) int32 sample index of the first payload soft
-    value, valid (C, F), quality (C, F)).  A sync window starting at sample
-    n has its payload starting at n + 24*40.
+    soft: the (C, M) dense soft stream the sync metrics came from (used for
+    the tap-dominance guard).  Returns (starts (C, F) int32 sample index of
+    the first payload soft value, valid (C, F), quality (C, F)).  A sync
+    window starting at sample n has its payload starting at n + 24*40.
     """
+    m_soft = soft.shape[-1]
     m = norm.shape[-1]
     hit = (norm >= CONFIG.sync_hunt_norm_thresh) & \
           (raw >= CONFIG.sync_hunt_raw_thresh)
+    # tap-dominance guard: at a signal->silence edge, a window holding ONE
+    # strong soft symbol (the other 23 taps in the gap) still clears both
+    # thresholds (norm ~ 1.0 by construction).  A true sync spreads energy
+    # over all 24 taps, so reject windows where a single tap carries most
+    # of the window energy.  (The reference behaves differently but no
+    # better: its LOCKED flywheel free-runs into the gap emitting garbage
+    # frames until the miss limit, src/opv-demod.cpp:697-713.)
+    a = jnp.abs(soft)[:, None, :]
+    ones = jnp.ones((1, 1, _SB), a.dtype)
+    energy = jax.lax.conv_general_dilated(
+        a, ones, window_strides=(1,), padding="VALID",
+        rhs_dilation=(_SPS,), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
+    # dilated max over the 24 sync taps (window 24, dilation 40)
+    amax = jax.lax.reduce_window(
+        jnp.abs(soft), -jnp.inf, jax.lax.max,
+        window_dimensions=(1, _SB), window_strides=(1, 1),
+        padding="VALID", window_dilation=(1, _SPS))
+    hit = hit & (amax[:, :m] <= 0.5 * energy[:, :m])
     # normalized corr saturates at 1.0 over a plateau around true alignment;
     # the RAW correlation peaks sharply at the exact sample — select on raw
     wmax = jax.lax.reduce_window(
@@ -136,15 +156,30 @@ def detect_frames(raw: jnp.ndarray, norm: jnp.ndarray, m_soft: int,
     prev = jnp.pad(raw, [(0, 0), (1, 0)], constant_values=-jnp.inf)[:, :-1]
     is_peak = (raw >= wmax) & (raw > prev) & hit
 
-    # timing-phase vote: data bits can imitate the sync pattern at off-grid
-    # sample phases (a failure mode the reference's symbol-locked tracker
-    # never sees).  Trust the strongest peak's phase mod 40 per channel and
-    # reject peaks more than +-1 sample off that grid.
+    # timing-phase validation: data bits can imitate the sync pattern at
+    # off-grid sample phases (a failure mode the reference's symbol-locked
+    # tracker never sees).  A peak is accepted if EITHER
+    #   (a) it matches the strongest peak's phase mod 40 (+-1 sample) — the
+    #       per-channel vote that anchors the dominant burst, OR
+    #   (b) another threshold-qualifying sync exists exactly one frame
+    #       interval away at the same sample phase (+-1) — burst-local
+    #       consistency, so a SECOND burst at a different sample phase in
+    #       the same block also decodes (the reference's tracker re-acquires
+    #       arbitrary phases across bursts, src/opv-demod.cpp:615-736).
+    #       Noise/data imitations cannot produce two frame-aligned syncs.
     n_idx = jnp.arange(m)
     best = jnp.argmax(jnp.where(is_peak, raw, -jnp.inf), axis=-1)  # (C,)
     p_star = (best % _SPS)[:, None]
     dph = (n_idx[None, :] - p_star) % _SPS
     phase_ok = (dph <= 1) | (dph >= _SPS - 1)
+
+    spf = CONFIG.samples_per_frame
+    pad = jnp.pad(hit, ((0, 0), (1, 1)))                 # dilate +-1 sample
+    dil = pad[:, :-2] | pad[:, 1:-1] | pad[:, 2:]
+    nxt = jnp.pad(dil, ((0, 0), (0, spf)))[:, spf:]      # hit at n + spf
+    prv = jnp.pad(dil, ((0, 0), (spf, 0)))[:, :m]        # hit at n - spf
+    neighbor_ok = nxt | prv
+    phase_ok = phase_ok | neighbor_ok
 
     # payload must fit in the dense soft stream
     fits = n_idx + _SB * _SPS + (_EB - 1) * _SPS < m_soft
@@ -196,7 +231,7 @@ def rx_fast(samples: jnp.ndarray, freq_offset=None, max_frames: int = 8,
 
     soft = dense_soft(samples, freq_offset)          # (C, M)
     raw, norm = dense_sync(soft)
-    starts, valid, q = detect_frames(raw, norm, soft.shape[-1], max_frames)
+    starts, valid, q = detect_frames(raw, norm, soft, max_frames)
     payloads = extract_payloads_dense(soft, starts)
     flat = payloads.reshape(-1, _EB)
     frames, metrics, ok = decode_payloads(flat)

@@ -107,3 +107,35 @@ class TestFastOwnTX:
         for c in range(3):
             got = np.asarray(out["frames"])[c][fv[c]]
             np.testing.assert_array_equal(got, frames)
+
+
+class TestMultiBurst:
+    def test_two_bursts_different_sample_phase(self, bert3_c64):
+        """Two bursts whose sample phases differ (mod 40) in ONE block must
+        BOTH decode: burst-local phase consistency (a qualifying sync one
+        frame interval away) validates the second burst instead of the
+        per-channel strongest-peak vote rejecting it (VERDICT round-1
+        item 7; the reference's tracker re-acquires arbitrary phases,
+        src/opv-demod.cpp:615-736)."""
+        s, golden = bert3_c64
+        two = s[: 2 * CONFIG.samples_per_frame + 40]    # 2 frames, no 3rd sync
+        gap = np.zeros(50_017, np.complex64)            # phase shift != 0 mod 40
+        block = np.concatenate([two, gap, two])
+        out = rx_fast(jnp.asarray(block[None, :]), max_frames=8)
+        fv = np.asarray(out["frame_valid"])[0]
+        got = np.asarray(out["frames"])[0][fv]
+        starts = np.asarray(out["starts"])[0][fv]
+        metrics = np.asarray(out["metrics"])[0][fv]
+        # all 4 true frames decode perfectly (metric 0)...
+        clean = metrics == 0
+        assert clean.sum() == 4, f"decoded {clean.sum()} of 4 burst frames"
+        np.testing.assert_array_equal(got[clean][:2], golden[:2])
+        np.testing.assert_array_equal(got[clean][2:], golden[:2])
+        # ...at two distinct sample phases (the second burst's own phase)
+        phases = np.unique(starts[clean] % CONFIG.samples_per_symbol)
+        assert len(phases) == 2
+        # any extra detections are trailing-edge artifacts where the sync
+        # window straddles signal->gap; the reference's LOCKED flywheel
+        # also free-runs garbage frames into a gap (opv-demod.cpp:697-713),
+        # so allow them but they must be garbage-metric, not silent corruption
+        assert (metrics[~clean] > 100).all()
