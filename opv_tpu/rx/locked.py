@@ -195,15 +195,17 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     return _locked_body(samples, p0, freq_offset, n_frames)
 
 
-def _locked_body(samples, p0, freq_offset, n_frames: int):
-    c, n = samples.shape
-    # --- symbol-rate body at the shared timing phase r = p0 mod 40 ---
-    r = p0 % _SPS
-    k0 = (p0 - r) // _SPS                 # symbol index of the sync start
-    nsym = (n - _SPS) // _SPS
-    soft = _symbol_soft_batch(samples, r, freq_offset, nsym)   # (C, nsym)
+def _extract_frames(soft: jnp.ndarray, k0: jnp.ndarray, n_frames: int):
+    """(C, nsym) symbol-rate soft stream -> per-frame payloads + sync checks.
 
-    # --- payload extraction: one slice per channel + static reshape ---
+    One dynamic_slice per channel (python-unrolled: batched gathers don't
+    lower on all TPU runtimes) + static strided reshape; sync quality and
+    raw correlation per frame come from a tiny (C, F, 24) @ (24,) matmul.
+    Split out of _locked_body so stage-level benchmarks (tools/
+    stage_bench.py) can time it in isolation.
+    """
+    from opv_tpu.rx.sync import normalized_sync
+    c, nsym = soft.shape
     span = n_frames * _FS
     # zero-pad the symbol stream so a sync acquired ANYWHERE in the window
     # (hunt_grid can return p0 deep inside the block) still yields a full
@@ -220,13 +222,24 @@ def _locked_body(samples, p0, freq_offset, n_frames: int):
         fr = w.reshape(n_frames, _FS)
         payloads.append(fr[:, _SB:])
         sync_w = fr[:, :_SB]
-        from opv_tpu.rx.sync import normalized_sync
         raw_c = sync_w @ pat
         raws.append(raw_c)
         qs.append(normalized_sync(raw_c, jnp.abs(sync_w).sum(-1)))
     payloads = jnp.stack(payloads)        # (C, F, 2144)
     q = jnp.stack(qs)                     # (C, F)
     raw = jnp.stack(raws)                 # (C, F)
+    return payloads, q, raw
+
+
+def _locked_body(samples, p0, freq_offset, n_frames: int):
+    c, n = samples.shape
+    # --- symbol-rate body at the shared timing phase r = p0 mod 40 ---
+    r = p0 % _SPS
+    k0 = (p0 - r) // _SPS                 # symbol index of the sync start
+    nsym = (n - _SPS) // _SPS
+    soft = _symbol_soft_batch(samples, r, freq_offset, nsym)   # (C, nsym)
+
+    payloads, q, raw = _extract_frames(soft, k0, n_frames)
 
     flat = payloads.reshape(-1, _EB)
     frames, metrics, ok = decode_payloads(flat)

@@ -17,8 +17,11 @@ Usage: python tools/scaling_bench.py [--devices 1 2 4 8] [--frames-per-dev 4]
 
 import argparse
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:

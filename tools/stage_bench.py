@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Per-stage timing of the production (locked-grid) RX pipeline on the
+current accelerator — the kernel-level performance accounting BASELINE.md
+line 34 demands ("per-chip speed of light").
+
+Times, in isolation (jit-compiled, device-resident inputs, scalar-only
+fetches):
+
+  soft      — _symbol_soft_batch: phase-aligned symbol-rate tone
+              correlation, the HBM-bandwidth stage (reads every sample once)
+  extract   — _extract_frames: per-channel slice + strided reshape + sync
+              quality (src/opv-demod.cpp:743-757 analog)
+  viterbi   — 64-state soft Viterbi on (C*F, 2144), XLA scan vs Pallas
+              VMEM kernel (src/opv-demod.cpp:800-847 analog)
+  finish    — full frame finisher (quantize/deinterleave/viterbi/pack/
+              derandomize) per backend
+  steady    — the whole rx_locked_steady block per backend
+
+Prints one JSON object on stdout; progress to stderr.  Usage:
+  python tools/stage_bench.py [--cpu] [--channels 64] [--frames 20]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    log(f"platform: {platform}")
+    if platform != "cpu":
+        # pre-flight probe with hard watchdog (see bench.py: a wedged tunnel
+        # hangs in uninterruptible fetches)
+        import threading, os
+        done = threading.Event()
+
+        def _watch():
+            if not done.wait(150):
+                log("pre-flight probe hung; aborting")
+                os._exit(3)
+
+        threading.Thread(target=_watch, daemon=True).start()
+        assert float(jax.jit(lambda: jnp.ones((8, 128)).sum())()) == 1024.0
+        done.set()
+        log("pre-flight ok")
+
+    from opv_tpu.config import CONFIG
+    from opv_tpu.core import build_bert_frame, encode_frame
+    from opv_tpu.core.framing import frame_to_symbol_bits
+    from opv_tpu.core.interleave import deinterleave_gather
+    from opv_tpu.ops import registry
+    from opv_tpu.rx.frame_decoder import decode_payloads, quantize_soft
+    from opv_tpu.rx.locked import (_extract_frames, _locked_body,
+                                   _symbol_soft_batch, rx_locked)
+    from opv_tpu.tx.modulator import mod_reset, modulate_bits_fast
+
+    C, F = args.channels, args.frames
+    sps = CONFIG.samples_per_symbol
+
+    frames = build_bert_frame("W5NYV", frame_num=np.arange(F))
+    enc = encode_frame(jnp.asarray(frames))
+    bits = np.asarray(frame_to_symbol_bits(enc)).reshape(-1)
+
+    @jax.jit
+    def synth(b):
+        iq, _ = modulate_bits_fast(b, mod_reset())
+        s = (iq[:, 0].astype(jnp.float32) +
+             1j * iq[:, 1].astype(jnp.float32)).astype(jnp.complex64)
+        s = jnp.concatenate([s, jnp.zeros(100 * sps, jnp.complex64)])
+        return jnp.broadcast_to(s, (C, s.shape[0]))
+
+    samples = synth(jnp.asarray(bits))
+    jax.block_until_ready(samples)
+    c, n = samples.shape
+    n_total = c * n
+    log(f"signal: {c} x {n} samples on {platform}")
+
+    acq = rx_locked(samples, n_frames=F, estimate_cfo_flag=True)
+    p0, foff = acq["p0"], acq["freq_offset"]
+    assert int(acq["n_decoded"]) == C * F, int(acq["n_decoded"])
+    nsym = (n - sps) // sps
+    r = p0 % sps
+    k0 = (p0 - r) // sps
+
+    def bench(fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
+
+    res = {"platform": platform, "channels": C, "frames_per_chan": F,
+           "samples_per_block": n_total, "stages_ms": {}}
+
+    # --- stage: symbol-rate tone correlation ---
+    f_soft = jax.jit(lambda s, rr, ff: _symbol_soft_batch(s, rr, ff, nsym))
+    t, soft = bench(f_soft, samples, r, foff)
+    res["stages_ms"]["soft"] = t * 1e3
+    log(f"soft: {t*1e3:.2f} ms")
+
+    # --- stage: frame extraction + sync quality ---
+    f_ext = jax.jit(lambda sf, kk: _extract_frames(sf, kk, F))
+    t, (payloads, q, raw) = bench(f_ext, soft, k0)
+    res["stages_ms"]["extract"] = t * 1e3
+    log(f"extract: {t*1e3:.2f} ms")
+
+    flat = payloads.reshape(-1, 2144)
+    qsoft, _ = jax.jit(quantize_soft)(flat)
+    deint = jax.jit(lambda x: x[..., jnp.asarray(deinterleave_gather())])(qsoft)
+    jax.block_until_ready(deint)
+
+    backends = ["xla", "pallas"] if platform == "tpu" else ["xla"]
+    for be in backends:
+        registry.set_backend(be)
+        f_vit = jax.jit(lambda d: registry.viterbi_batch(d))
+        t, _ = bench(f_vit, deint)
+        res["stages_ms"][f"viterbi_{be}"] = t * 1e3
+        log(f"viterbi[{be}]: {t*1e3:.2f} ms   ({flat.shape[0]} frames)")
+
+        f_fin = jax.jit(lambda fl: decode_payloads(fl))
+        t, _ = bench(f_fin, flat)
+        res["stages_ms"][f"finish_{be}"] = t * 1e3
+        log(f"finish[{be}]: {t*1e3:.2f} ms")
+
+        f_steady = jax.jit(lambda s, pp, ff: _locked_body(s, pp, ff, F))
+        t, out = bench(f_steady, samples, p0, foff)
+        assert int(out["n_decoded"]) == C * F
+        res["stages_ms"][f"steady_{be}"] = t * 1e3
+        msps = n_total / t / 1e6
+        res[f"steady_{be}_msps"] = msps
+        log(f"steady[{be}]: {t*1e3:.2f} ms  -> {msps:.0f} MS/s")
+    registry.set_backend("xla")
+
+    # --- roofline accounting (v5e: ~819 GB/s HBM, ~197 bf16 TFLOP/s) ---
+    hbm_bytes_soft = n_total * 8 + c * nsym * 4     # read c64, write f32
+    res["roofline"] = {
+        "soft_hbm_bytes": hbm_bytes_soft,
+        "soft_min_ms_at_819GBs": hbm_bytes_soft / 819e9 * 1e3,
+        "viterbi_in_bytes": int(np.prod(deint.shape)) * 4,
+    }
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
