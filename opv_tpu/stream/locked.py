@@ -139,22 +139,61 @@ class LockedStreamDemodulator:
             out = self._reacquire(self._buf, jnp.asarray(self.p0),
                                   jnp.asarray(self.freq_offset),
                                   jnp.asarray(self.locked))
+        prev_locked = self.locked.copy()
+        results = self._emit(out, valid_limit)
+
+        # A channel that dropped lock during this block (miss limit exceeded)
+        # must be re-hunted over THIS window, not the next one: the reference
+        # transitions LOCKED -> HUNTING at the drop sample and scans on
+        # (src/opv-demod.cpp:695-713), so a burst starting later in the same
+        # window keeps its first frame.  One extra reacquire dispatch, only
+        # on lock-drop blocks.
+        dropped = prev_locked & ~self.locked
+        if dropped.any():
+            self.reacquisitions += 1
+            out2 = self._reacquire(self._buf, jnp.asarray(self.p0),
+                                   jnp.asarray(self.freq_offset),
+                                   jnp.asarray(~dropped))
+            results.extend(self._emit(out2, valid_limit, only=dropped,
+                                      min_pos=self._dropped_at))
+        return self._finish_block(results, valid_limit)
+
+    def _emit(self, out, valid_limit, only=None, min_pos=None):
+        """Run the host-side sync lifecycle over one block result.
+
+        only: bool (C,) — process just these channels (re-hunt second pass).
+        min_pos: int (C,) — reject frames before this window position (the
+        grid slot where lock was dropped: everything earlier was already
+        emitted or belongs to the dead burst, matching the reference which
+        hunts forward from the drop sample only)."""
         q = np.asarray(out["sync_q"])
         raw = np.asarray(out["sync_raw"])
         ok = np.asarray(out["decode_ok"])
         metrics = np.asarray(out["metrics"])
         frames = np.asarray(out["frames"])
-        self.p0 = np.asarray(out["p0"])
-        self.freq_offset = np.asarray(out["freq_offset"])
+        p0 = np.asarray(out["p0"])
+        foff = np.asarray(out["freq_offset"])
+        chans = range(self.channels) if only is None else np.flatnonzero(only)
+        self._dropped_at = np.zeros(self.channels, np.int64)
+        for c in chans:
+            self.p0[c] = p0[c]
+            self.freq_offset[c] = foff[c]
 
         vlim = self.window if valid_limit is None else valid_limit
+        # a frame is OWNED by this block only if its sync starts before the
+        # slide amount — a hunt can lock deep in the window's overlap tail,
+        # and those grid slots reappear (at pos % spf) in the next block:
+        # processing them twice would double-emit and double-count misses
+        own_end = self.advance if valid_limit is None else vlim
         extent = self.spf + CONFIG.samples_per_symbol  # sync..payload end
         results = []
-        for c in range(self.channels):
+        for c in chans:
             for k in range(self.block_frames):
                 pos = int(self.p0[c]) + k * self.spf
-                if pos + extent > vlim:
-                    continue               # tail frame: incomplete samples
+                if pos >= own_end or pos + extent > vlim:
+                    continue           # next block's slot / incomplete tail
+                if min_pos is not None and pos < min_pos[c]:
+                    continue           # precedes this channel's lock drop
                 emit = False
                 if self.locked[c]:
                     # LOCKED re-check (src/opv-demod.cpp:695-713)
@@ -167,6 +206,7 @@ class LockedStreamDemodulator:
                     else:
                         self.locked[c] = False
                         self.miss[c] = 0
+                        self._dropped_at[c] = pos
                 else:
                     # HUNTING thresholds (src/opv-demod.cpp:783-786)
                     if (q[c, k] >= CONFIG.sync_hunt_norm_thresh
@@ -181,6 +221,9 @@ class LockedStreamDemodulator:
                     results.append((c, bytes(frames[c, k]),
                                     int(metrics[c, k]), float(q[c, k]),
                                     self._abs_base + pos))
+        return results
+
+    def _finish_block(self, results, valid_limit):
         if valid_limit is None:
             self._buf = self._slide(self._buf)
             self._count -= self.advance

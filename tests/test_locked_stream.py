@@ -93,6 +93,30 @@ class TestLockedStream:
         for r in perfect:
             assert not (b1_end <= r[4] < gap_end - SPF)
 
+    def test_reacquire_within_drop_block(self):
+        """Lock drops at the FIRST frame slot of a block and the next burst
+        starts later inside that same block window: the driver must re-hunt
+        the current window immediately (second reacquire pass), not wait for
+        the next block — otherwise the new burst's first frame is lost.
+        The reference transitions LOCKED->HUNTING at the drop sample and
+        scans on from there (src/opv-demod.cpp:695-713)."""
+        rng = np.random.default_rng(7)
+        s1, f1 = _signal(3)
+        s2, f2 = _signal(3, start=50)
+        gap = (rng.standard_normal(8 * SPF) +
+               1j * rng.standard_normal(8 * SPF)).astype(np.complex64) * 50.0
+        s2 = np.concatenate([np.zeros(13, np.complex64), s2])
+        x = np.concatenate([s1, gap, s2])[None, :]
+        b2_start = len(s1) + len(gap) + 13
+
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        out = _run(sd, x, chunk=70_001)
+        perfect = [r for r in out if r[2] == 0]
+        assert [r[1] for r in perfect] == \
+            [bytes(f) for f in f1] + [bytes(f) for f in f2]
+        # burst 2's FIRST frame is decoded at its true position (+-1 sample)
+        assert abs(perfect[3][4] - b2_start) <= 1
+
     def test_flywheel_emits_through_short_fade(self):
         """A fade shorter than sync_miss_limit frames: lock must survive
         (flywheel) and clean frames resume without re-acquisition."""
