@@ -100,20 +100,37 @@ def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray):
 
 def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
                        nsym: int) -> jnp.ndarray:
-    """Phase-align every channel at its r (python-unrolled UNBATCHED
-    dynamic_slices — batched gathers don't lower on all TPU runtimes) and
-    correlate all channels at the symbol grid with ONE batched matmul."""
+    """Symbol-grid tone correlation at per-channel phase r — NO dynamic
+    slicing at all.
+
+    The phase-aligned window for symbol s spans the tail of static block s
+    and the head of static block s+1 (blocks = a free contiguous reshape of
+    the sample stream into (C, nsym+1, 40)).  Splitting the correlation sum
+    at the phase boundary:
+
+        corr(s) = e^{j*inc*r} * (A(s) + e^{-40j*inc} * B(s+1))
+
+    where A/B are tone correlations of each static block masked at t >= r /
+    t < r.  The leading per-channel phase drops inside |corr|^2, so the
+    whole stage is ONE batched (C, nsym+1, 40) x (C, 40, 4) matmul + an
+    elementwise combine — a single pass over HBM (the previous formulation
+    python-unrolled one dynamic_slice per channel and materialized a second
+    copy of the block; 64ch x 1.7 Msamples measured 65 ms vs ~1.1 ms HBM
+    roofline — see PERF.md)."""
     c = samples.shape[0]
-    sym = jnp.stack([
-        jax.lax.dynamic_slice(samples[ci], (r[ci],), (nsym * _SPS,))
-        for ci in range(c)
-    ]).reshape(c, nsym, _SPS)
+    sym = samples[:, : (nsym + 1) * _SPS].reshape(c, nsym + 1, _SPS)
     freqs = jnp.stack([-CONFIG.freq_dev + freq_offset,
                        CONFIG.freq_dev + freq_offset], axis=-1)   # (C, 2)
     incs = (_TWO_PI / CONFIG.sample_rate) * freqs
     i = jnp.arange(_SPS, dtype=incs.dtype)
     e = jnp.exp(-1j * incs[:, None, :] * i[None, :, None]).astype(samples.dtype)
-    corr = jnp.einsum("cst,cto->cso", sym, e)                     # (C, nsym, 2)
+    tail = (jnp.arange(_SPS, dtype=jnp.int32)[None, :]
+            >= r[:, None])[:, :, None]                            # t >= r
+    kern = jnp.concatenate([jnp.where(tail, e, 0),
+                            jnp.where(tail, 0, e)], axis=-1)      # (C, 40, 4)
+    ab = jnp.einsum("cst,cto->cso", sym, kern)                    # (C, ns+1, 4)
+    phi = jnp.exp(-1j * incs * _SPS)[:, None, :].astype(samples.dtype)
+    corr = ab[:, :-1, :2] + phi * ab[:, 1:, 2:]                   # (C, nsym, 2)
     p = corr.real ** 2 + corr.imag ** 2
     return p[..., 1] - p[..., 0]
 
@@ -147,7 +164,6 @@ def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
     any channel is unlocked and rx_locked_steady otherwise.
     """
     from opv_tpu.rx.cfo import estimate_cfo_batch
-    c = samples.shape[0]
     # Hunt with the carried CFO (zero for never-locked channels): the
     # 40-sample tone correlation loses <2% even at the full +-2 kHz AFC
     # clamp, so CFO error cannot hide a sync from the hunt.
@@ -159,12 +175,8 @@ def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
     p0 = jnp.where(keep | ~found, p0_old, p0_new)
     # CFO estimated on one frame interval AT the acquired position (the
     # block may hold noise before a mid-block burst; estimating from the
-    # block head would be meaningless there).  Python-unrolled unbatched
-    # dynamic_slices: batched gathers don't lower on all TPU runtimes.
-    seg = jnp.stack([
-        jax.lax.dynamic_slice(samples[ci], (p0[ci],), (_FS * _SPS,))
-        for ci in range(c)
-    ])
+    # block head would be meaningless there).
+    seg = _slice_rows(samples, p0, _FS * _SPS)
     cfo_new = estimate_cfo_batch(seg).astype(jnp.float32)
     freq_offset = jnp.where(keep, freq_offset_old, cfo_new)
     return _locked_body(samples, p0, freq_offset, n_frames)
@@ -187,22 +199,43 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
         else:
             freq_offset = jnp.zeros((c,), jnp.float32)
 
-    # --- acquisition on the first frame interval only ---
-    acq_len = min(n, (_FS + _SB + 2) * _SPS)
+    # --- acquisition on the first TWO frame intervals ---
+    # hunt_grid's verified earliest candidate (absolute thresholds + next-
+    # frame re-check) needs one extra frame of correlation for the re-check.
+    # acquire_grid's relative rule ("first >= 0.9 x window max") is kept
+    # only as the fallback when nothing verifies (e.g. pure noise, where it
+    # reproduces the reference's false-lock-on-argmax behavior): under AWGN
+    # the first sync's raw peak can dip below 0.9 x a later sync's peak,
+    # which used to lock one full frame late and shift every decoded slot.
+    acq_len = min(n, (2 * _FS + _SB + 2) * _SPS)
     soft_acq = dense_soft(samples[:, :acq_len], freq_offset)
-    raw, _norm = dense_sync(soft_acq)
-    p0 = acquire_grid(raw)
+    raw, norm = dense_sync(soft_acq)
+    p0_hunt, found = hunt_grid(raw, norm)
+    p0 = jnp.where(found, p0_hunt, acquire_grid(raw))
     return _locked_body(samples, p0, freq_offset, n_frames)
+
+
+def _slice_rows(x: jnp.ndarray, starts: jnp.ndarray, length: int) -> jnp.ndarray:
+    """(C, N) -> (C, length), row c sliced from starts[c].
+
+    lax.scan over rows: ONE compiled slice body instead of C python-unrolled
+    dynamic_slices (which cost ~0.5 ms of dispatch each on TPU and grow the
+    HLO linearly in C), and NOT a batched gather (vmapped dynamic_slice /
+    take_along_axis do not lower on all TPU runtimes — see CLAUDE.md)."""
+    def body(_, xs):
+        row, st = xs
+        return None, jax.lax.dynamic_slice(row, (st,), (length,))
+    _, out = jax.lax.scan(body, None, (x, starts))
+    return out
 
 
 def _extract_frames(soft: jnp.ndarray, k0: jnp.ndarray, n_frames: int):
     """(C, nsym) symbol-rate soft stream -> per-frame payloads + sync checks.
 
-    One dynamic_slice per channel (python-unrolled: batched gathers don't
-    lower on all TPU runtimes) + static strided reshape; sync quality and
-    raw correlation per frame come from a tiny (C, F, 24) @ (24,) matmul.
-    Split out of _locked_body so stage-level benchmarks (tools/
-    stage_bench.py) can time it in isolation.
+    One scanned dynamic_slice per channel + static strided reshape; sync
+    quality and raw correlation per frame come from a tiny batched
+    (C, F, 24) @ (24,) matmul.  Split out of _locked_body so stage-level
+    benchmarks (tools/stage_bench.py) can time it in isolation.
     """
     from opv_tpu.rx.sync import normalized_sync
     c, nsym = soft.shape
@@ -212,22 +245,13 @@ def _extract_frames(soft: jnp.ndarray, k0: jnp.ndarray, n_frames: int):
     # static slice; frames extending into the padding read zero soft values
     # and are rejected by the sync-quality gate / the caller's fit check
     soft = jnp.pad(soft, ((0, 0), (0, span)))
-    payloads = []
-    qs = []
-    raws = []
+    w = _slice_rows(soft, jnp.clip(k0, 0, nsym), span)
+    fr = w.reshape(c, n_frames, _FS)
+    payloads = fr[:, :, _SB:]             # (C, F, 2144)
+    sync_w = fr[:, :, :_SB]
     pat = jnp.asarray(sync_pattern(), soft.dtype)
-    for ci in range(c):
-        start = jnp.clip(k0[ci], 0, nsym)
-        w = jax.lax.dynamic_slice(soft[ci], (start,), (span,))
-        fr = w.reshape(n_frames, _FS)
-        payloads.append(fr[:, _SB:])
-        sync_w = fr[:, :_SB]
-        raw_c = sync_w @ pat
-        raws.append(raw_c)
-        qs.append(normalized_sync(raw_c, jnp.abs(sync_w).sum(-1)))
-    payloads = jnp.stack(payloads)        # (C, F, 2144)
-    q = jnp.stack(qs)                     # (C, F)
-    raw = jnp.stack(raws)                 # (C, F)
+    raw = sync_w @ pat                    # (C, F)
+    q = normalized_sync(raw, jnp.abs(sync_w).sum(-1))
     return payloads, q, raw
 
 
