@@ -138,8 +138,15 @@ def main(argv=None) -> int:
 
         # NB: the reference ignores -c in streaming mode (opv-demod.cpp:999
         # always instantiates the non-coherent AFC demod); match that.
+        # Sync-lifecycle transitions go to stderr in the reference's exact
+        # format (unconditional there, src/opv-demod.cpp:651-706; gated on
+        # our -q so --quiet stays quiet).
+        on_event = None
+        if not args.quiet:
+            from opv_tpu.utils.display import print_sync_event
+            on_event = print_sync_event
         sd = StreamingDemodulator(init_offset=args.init_offset,
-                                  afc_alpha=args.afc_bw)
+                                  afc_alpha=args.afc_bw, on_event=on_event)
         from opv_tpu.utils.metrics import MetricHistogram
         hist = MetricHistogram()
         metrics_out = None

@@ -25,11 +25,14 @@ from opv_tpu.rx.sync import (
 
 def rx_block(samples: jnp.ndarray, n_valid, lstate: LoopState,
              tstate: SyncTrackerState, hist: jnp.ndarray,
-             max_frames: int, afc_alpha=None):
+             max_frames: int, afc_alpha=None, with_events: bool = False):
     """Demod + sync + decode one fixed-capacity block of IQ.
 
     hist: (2144,) soft-symbol history from the previous block (zeros at
     stream start).  Returns a dict of fixed-shape results + updated carries.
+    with_events=True adds per-symbol sync-lifecycle streams (events/
+    ev_misses/ev_frames/sync_raw/sync_norm) so streaming front-ends can
+    print the reference's transition diagnostics (src/opv-demod.cpp:651-706).
     """
     eb = CONFIG.encoded_bits
     soft, sym_valid, lstate2, used = demodulate_block(
@@ -37,16 +40,21 @@ def rx_block(samples: jnp.ndarray, n_valid, lstate: LoopState,
     v = sym_valid.sum().astype(jnp.int32)
     soft_cat = jnp.concatenate([hist, soft])
     raw, norm = sync_correlate(soft_cat[eb - (CONFIG.sync_bits - 1):])
-    tstate2, ready, q = sync_scan(tstate, raw, norm, sym_valid)
+    tstate2, ready, q, events, ev_misses, ev_frames = sync_scan(
+        tstate, raw, norm, sym_valid)
     payloads, qs, slot_valid, t_idx = extract_payload_windows(
         soft_cat, ready, q, max_frames)
     frames, metrics, ok = decode_payloads(payloads)
     hist2 = jax.lax.dynamic_slice(soft_cat, (v,), (eb,))
-    return dict(
+    out = dict(
         frames=frames, metrics=metrics, frame_valid=ok & slot_valid,
         sync_q=qs, t_idx=t_idx, n_symbols=v, samples_used=used,
         soft=soft, sym_valid=sym_valid,
-    ), lstate2, tstate2, hist2
+    )
+    if with_events:
+        out.update(events=events, ev_misses=ev_misses, ev_frames=ev_frames,
+                   sync_raw=raw, sync_norm=norm)
+    return out, lstate2, tstate2, hist2
 
 
 @functools.partial(jax.jit, static_argnames=("max_frames", "estimate", "dtype",
@@ -70,7 +78,7 @@ def _rx_batch_jit(samples, init_offset, max_frames, estimate, dtype, afc_alpha,
         soft_cat = jnp.concatenate([hist, soft])
         raw, norm = sync_correlate(soft_cat[eb - (CONFIG.sync_bits - 1):])
         valid = jnp.ones(soft.shape, bool)
-        tstate2, ready, q = sync_scan(tstate, raw, norm, valid)
+        tstate2, ready, q, _ev, _evm, _evf = sync_scan(tstate, raw, norm, valid)
         payloads, qs, slot_valid, t_idx = extract_payload_windows(
             soft_cat, ready, q, max_frames)
         frames, metrics, ok = decode_payloads(payloads)

@@ -90,13 +90,23 @@ def sync_correlate(soft_ext: jnp.ndarray):
     return raw, normalized_sync(raw, energy)
 
 
+#: transition-event codes emitted per symbol by sync_scan (mirrors the
+#: reference's unconditional stderr diagnostics, src/opv-demod.cpp:651-706)
+EV_NONE, EV_HUNT_VERIFY, EV_VERIFY_LOCK, EV_SYNC_OK, EV_SYNC_MISS, \
+    EV_LOSE_LOCK = range(6)
+
+
 def sync_scan(state: SyncTrackerState, raw: jnp.ndarray, norm: jnp.ndarray,
               valid: jnp.ndarray):
     """Run the state machine over S symbols.
 
-    Returns (new_state, ready (S,) bool, sync_q_at_emit (S,)).
-    `valid` masks trailing not-actually-produced symbols in a fixed-shape
-    block; invalid steps are no-ops.
+    Returns (new_state, ready (S,) bool, sync_q_at_emit (S,),
+    events (S,) int32 EV_* codes, ev_misses (S,) int32 miss count after the
+    step, ev_frames (S,) int32 total frames after the step).  The event
+    streams let streaming front-ends print the reference's per-transition
+    stderr lines (src/opv-demod.cpp:651-706) without any per-symbol host
+    round trips.  `valid` masks trailing not-actually-produced symbols in a
+    fixed-shape block; invalid steps are no-ops.
     """
     eb = CONFIG.encoded_bits        # 2144
     fs = CONFIG.frame_symbols       # 2168
@@ -135,6 +145,12 @@ def sync_scan(state: SyncTrackerState, raw: jnp.ndarray, norm: jnp.ndarray,
         ready = ver_done | lock_emit
         frames = c.frames + ready.astype(jnp.int32)
 
+        ev = jnp.where(hunt_hit, EV_HUNT_VERIFY,
+             jnp.where(ver_done, EV_VERIFY_LOCK,
+             jnp.where(lock_ok, EV_SYNC_OK,
+             jnp.where(lose_lock, EV_LOSE_LOCK,
+             jnp.where(flywheel, EV_SYNC_MISS, EV_NONE))))).astype(jnp.int32)
+
         nc = SyncTrackerState(
             state=jnp.where(v, state_new, c.state),
             sss=jnp.where(v, sss_new, c.sss),
@@ -144,10 +160,12 @@ def sync_scan(state: SyncTrackerState, raw: jnp.ndarray, norm: jnp.ndarray,
             total=jnp.where(v, total, c.total),
             frames=jnp.where(v, frames, c.frames),
         )
-        return nc, (ready & v, jnp.where(v, sync_q, c.sync_q))
+        return nc, (ready & v, jnp.where(v, sync_q, c.sync_q),
+                    jnp.where(v, ev, EV_NONE), nc.misses, nc.frames)
 
-    new_state, (ready, q) = jax.lax.scan(step, state, (raw, norm, valid))
-    return new_state, ready, q
+    new_state, (ready, q, events, ev_misses, ev_frames) = jax.lax.scan(
+        step, state, (raw, norm, valid))
+    return new_state, ready, q, events, ev_misses, ev_frames
 
 
 def extract_payload_windows(soft_cat: jnp.ndarray, ready: jnp.ndarray,

@@ -30,7 +30,11 @@ class StreamingDemodulator:
 
     def __init__(self, init_offset: float | None = None,
                  afc_alpha: float = CONFIG.afc_alpha, dtype: str = "float64",
-                 chunk_samples: int | None = None):
+                 chunk_samples: int | None = None, on_event=None):
+        """on_event(sym_idx, code, norm, raw, misses, frames): optional
+        callback fired per sync-lifecycle transition (rx.sync.EV_* codes) —
+        the reference's stderr diagnostics (src/opv-demod.cpp:651-706).
+        Enabling it adds the per-symbol event streams to the chunk fetch."""
         self.chunk = chunk_samples or CONFIG.chunk_samples
         self.cap = self.chunk          # buffer is always <= one chunk
         self.rdtype = np.float64 if dtype == "float64" else np.float32
@@ -55,10 +59,13 @@ class StreamingDemodulator:
 
         mf = self.max_frames
         aa = self.afc_alpha
+        self.on_event = on_event
+        ev = on_event is not None
 
         @jax.jit
         def _chunk_fn(samples, n_valid, lstate, tstate, hist):
-            return rx_block(samples, n_valid, lstate, tstate, hist, mf, afc_alpha=aa)
+            return rx_block(samples, n_valid, lstate, tstate, hist, mf,
+                            afc_alpha=aa, with_events=ev)
 
         self._chunk_fn = _chunk_fn
         self._cfo_fn = jax.jit(estimate_cfo)
@@ -148,6 +155,17 @@ class StreamingDemodulator:
         valid = np.asarray(out["frame_valid"])
         qs = np.asarray(out["sync_q"])
         t_idx = np.asarray(out["t_idx"])
+
+        if self.on_event is not None:
+            events = np.asarray(out["events"])
+            evm = np.asarray(out["ev_misses"])
+            evf = np.asarray(out["ev_frames"])
+            norm = np.asarray(out["sync_norm"])
+            raw = np.asarray(out["sync_raw"])
+            for t in np.flatnonzero(events):
+                self.on_event(base_sym + int(t), int(events[t]),
+                              float(norm[t]), float(raw[t]),
+                              int(evm[t]), int(evf[t]))
 
         results = []
         for i in np.argsort(t_idx):

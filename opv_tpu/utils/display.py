@@ -68,3 +68,25 @@ def summary(decoded: int, perfect: int, seconds: float, symbols: int,
     print(f"Final state: {state}, AFC: {afc_hz:.1f} Hz", file=out)
     print("════════════════════════════════════════════════════════════════════",
           file=out)
+
+
+def print_sync_event(sym_idx: int, code: int, norm: float, raw: float,
+                     misses: int, frames: int, out=sys.stderr) -> None:
+    """One sync-lifecycle transition line, byte-for-byte the reference's
+    stderr format (src/opv-demod.cpp:651-706).  code: rx.sync.EV_* value;
+    EV_LOSE_LOCK prints the MISS line AND the lost-lock line, as the
+    reference does."""
+    if code == 1:
+        print(f"[{sym_idx}] HUNTING→VERIFYING (corr={norm:.3f}, raw={raw:.0f})",
+              file=out)
+    elif code == 2:
+        print(f"[{sym_idx}] VERIFYING→LOCKED (frame {frames})", file=out)
+    elif code == 3:
+        print(f"[{sym_idx}] LOCKED: sync OK (corr={norm:.3f})", file=out)
+    elif code == 4:
+        print(f"[{sym_idx}] LOCKED: sync MISS #{misses} (corr={norm:.3f})",
+              file=out)
+    elif code == 5:
+        print(f"[{sym_idx}] LOCKED: sync MISS #{misses} (corr={norm:.3f})",
+              file=out)
+        print(f"[{sym_idx}] LOCKED→HUNTING (lost lock)", file=out)

@@ -231,3 +231,22 @@ class TestUDPServer:
             proc.terminate()
             proc.wait(timeout=30)
             listener.close()
+
+
+class TestSyncDiagnostics:
+    def test_streaming_transition_lines_match_reference(self, golden_dir):
+        """The sync-lifecycle stderr lines are byte-identical to the
+        reference binary's on the same capture (src/opv-demod.cpp:651-706;
+        verified against /tmp/refbuild/bin/opv-demod -s < bert3.iq)."""
+        r = run_cli("opv_demod", ["-s"],
+                    stdin=open(golden_dir / "bert3.iq", "rb"),
+                    capture_output=True, text=True, timeout=600)
+        lines = [l for l in r.stderr.splitlines()
+                 if "HUNTING" in l or "VERIFYING" in l or "LOCKED:" in l]
+        assert lines[:5] == [
+            "[23] HUNTING→VERIFYING (corr=1.000, raw=5824282519967)",
+            "[2167] VERIFYING→LOCKED (frame 1)",
+            "[2191] LOCKED: sync OK (corr=1.000)",
+            "[4359] LOCKED: sync OK (corr=1.000)",
+            "[6527] LOCKED: sync MISS #1 (corr=0.000)",
+        ]
