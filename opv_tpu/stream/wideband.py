@@ -1,68 +1,115 @@
 """Wideband receiver: one digitizer stream in, decoded frames from every
 OPV channel out.
 
-Composes the analysis channelizer (rx/channelizer.py) with the multichannel
-overlap-save demodulator (stream/multichannel.py).  Feed blocks of wideband
-IQ at K x 2.168 MSPS; get (channel, frame, metric, quality, position)
+Composes the analysis channelizer (rx/channelizer.py) with a multichannel
+streaming engine.  Feed blocks of wideband IQ at K x 2.168 MSPS; get
+(channel, frame_bytes, metric, sync_quality, abs_channel_sample_pos)
 tuples.  Filter history is carried across block seams so channelization is
 streaming-exact.
+
+DEVICE-RESIDENT by construction: the wideband sample buffer is a jax array,
+`channelize` runs on-device, and its (K, M) output feeds the engine's
+device-resident buffer directly — the only host traffic is the initial
+digitizer ingest and the decoded frames/scalars coming back (SURVEY.md
+section 7.4; the reference runs one opv-demod process per channel off a
+host-side splitter, src/opv-demod.cpp:1046-1077).
+
+Engines:
+  * "locked" (default, production): LockedStreamDemodulator — locked-grid
+    steady-state with hunt/flywheel/re-acquire lifecycle.
+  * "fast": MultiChannelDemodulator — dense feed-forward correlation every
+    block (no lock state; for bursty many-transmitter channels).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from opv_tpu.config import CONFIG
 from opv_tpu.rx.channelizer import channelize
+from opv_tpu.stream.locked import LockedStreamDemodulator
 from opv_tpu.stream.multichannel import MultiChannelDemodulator
 
 
 class WidebandReceiver:
-    def __init__(self, k: int, block_frames: int = 4, taps_per_branch: int = 12):
+    def __init__(self, k: int, block_frames: int = 4,
+                 taps_per_branch: int = 12, engine: str = "locked",
+                 quantum_out: int = 65536):
+        import jax
+        import jax.numpy as jnp
+
         self.k = k
         self.taps = taps_per_branch
-        self._hist_len = k * taps_per_branch - 1     # conv VALID history
-        self._carry = np.zeros(0, np.complex64)      # history + remainder
-        # fixed processing quantum: channelize jit-compiles per input length,
-        # so ragged feeds would otherwise trigger up to K recompilations
-        # (20-120 s each through a TPU tunnel); only flush sees one ragged
-        # tail compile
-        self._quantum = k * 65536
-        self.demod = MultiChannelDemodulator(channels=k,
-                                             block_frames=block_frames)
+        self._hist = k * taps_per_branch - 1         # conv VALID history
+        # fixed processing quantum (wideband samples per channelizer call):
+        # channelize jit-compiles per input length, so ragged feeds would
+        # otherwise trigger up to K recompilations (20-120 s each through a
+        # TPU tunnel); only flush sees one ragged-tail compile
+        self._quantum = k * quantum_out
+        self.window = self._hist + self._quantum
+        self._jnp = jnp
 
-    def feed(self, wideband: np.ndarray):
-        """wideband: (n,) complex at K*fs_ch.  Returns decoded-frame tuples
-        (channel, frame_bytes, metric, sync_quality, abs_sample_pos)."""
-        import jax.numpy as jnp
+        self._buf = jnp.zeros(self.window, jnp.complex64)
+        self._count = 0                              # valid samples in _buf
 
-        x = np.concatenate([self._carry,
-                            np.asarray(wideband, dtype=np.complex64)])
-        h = self._hist_len
-        results = []
-        # consume fixed quanta past the filter history (one compiled shape);
-        # carry BOTH the history tail and the remainder forward so
-        # channelization is streaming-exact (no dropped samples)
-        while len(x) >= h + self._quantum:
-            consumed = x[: h + self._quantum]
-            x = x[self._quantum:]
-            y = np.asarray(channelize(jnp.asarray(consumed), self.k, self.taps))
-            results.extend(self.demod.feed(y))
-        self._carry = x
-        return results
+        if engine == "locked":
+            self.demod = LockedStreamDemodulator(channels=k,
+                                                 block_frames=block_frames)
+        elif engine == "fast":
+            self.demod = MultiChannelDemodulator(channels=k,
+                                                 block_frames=block_frames)
+        else:
+            raise ValueError("engine must be 'locked' or 'fast'")
+
+        kk, tt = k, taps_per_branch
+
+        def append(buf, count, x):
+            return jax.lax.dynamic_update_slice(buf, x, (count,))
+
+        def chan_full(buf):
+            return channelize(buf, kk, tt)
+
+        def slide(buf):
+            # keep the filter history tail at the front for the next quantum
+            kept = buf[self._quantum:]
+            return jnp.concatenate(
+                [kept, jnp.zeros(self._quantum, buf.dtype)])
+
+        self._append = jax.jit(append, donate_argnums=(0,))
+        self._chan = jax.jit(chan_full)
+        self._slide = jax.jit(slide, donate_argnums=(0,))
+
+    def feed(self, wideband):
+        """wideband: (n,) complex at K*fs_ch (numpy or jax array; jax input
+        never bounces to the host).  Returns decoded-frame tuples
+        (channel, frame_bytes, metric, sync_quality, abs_sample_pos) with
+        positions in CHANNEL-rate samples."""
+        jnp = self._jnp
+        x = jnp.asarray(wideband, jnp.complex64)
+        out = []
+        off = 0
+        n = x.shape[0]
+        while off < n:
+            take = min(self.window - self._count, n - off)
+            self._buf = self._append(self._buf, self._count,
+                                     x[off:off + take])
+            self._count += take
+            off += take
+            if self._count >= self.window:
+                out.extend(self.demod.feed(self._chan(self._buf)))
+                self._buf = self._slide(self._buf)
+                self._count = self._hist
+        return out
 
     def flush(self):
-        import jax.numpy as jnp
-
-        h = self._hist_len
-        x = self._carry
+        h = self._hist
         results = []
-        if len(x) >= h + self.k:
+        if self._count >= h + self.k:
             # one ragged-tail compile at end of stream
-            usable = h + ((len(x) - h) // self.k) * self.k
-            y = np.asarray(channelize(jnp.asarray(x[:usable]), self.k, self.taps))
-            results.extend(self.demod.feed(y))
-        self._carry = np.zeros(0, np.complex64)
+            usable = h + ((self._count - h) // self.k) * self.k
+            results.extend(self.demod.feed(
+                channelize(self._buf[:usable], self.k, self.taps)))
+        self._buf = self._jnp.zeros_like(self._buf)
+        self._count = 0
         results.extend(self.demod.flush())
         return results
 

@@ -81,6 +81,23 @@ class TestFastPipeline:
         # phase vote caps it at ~1 per channel
         assert int(out["n_decoded"]) <= noise.shape[0]
 
+    def test_noise_false_lock_rate(self):
+        """Rate-based parity pin: the reference binary run on THIS exact
+        noise (4 channels x 500k samples, int16-quantized, seed 7) decodes
+        12 false frames (~1 per 167k samples; measured via
+        /tmp/refbuild/bin/opv-demod -s -r -q per channel).  Our fast path
+        measures 16 on the same capture — same order, slightly above (the
+        multi-burst phase vote is burst-local).  Assert the RATE stays
+        within 1.5x of the reference's measurement — a per-capture cap
+        alone would still pass if every block false-locked."""
+        rng = np.random.default_rng(7)
+        noise = ((rng.standard_normal((4, 500_000)) +
+                  1j * rng.standard_normal((4, 500_000))) * 1000
+                 ).astype(np.complex64)
+        out = rx_fast(jnp.asarray(noise), max_frames=8)
+        reference_count = 12
+        assert int(out["n_decoded"]) <= 1.5 * reference_count
+
     def test_estimate_cfo_batch_matches_single(self, bert3_c64):
         from opv_tpu.rx.cfo import estimate_cfo
         import jax
