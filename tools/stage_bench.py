@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--backends", nargs="+", default=None,
+                    help="viterbi backends to time (default: xla+pallas on "
+                         "TPU, xla elsewhere); split runs to keep each "
+                         "tunnel session short")
     args = ap.parse_args()
 
     import jax
@@ -136,7 +140,8 @@ def main() -> int:
     deint = jax.jit(lambda x: x[..., jnp.asarray(deinterleave_gather())])(qsoft)
     jax.block_until_ready(deint)
 
-    backends = ["xla", "pallas"] if platform == "tpu" else ["xla"]
+    backends = args.backends or (
+        ["xla", "pallas"] if platform == "tpu" else ["xla"])
     for be in backends:
         registry.set_backend(be)
         f_vit = jax.jit(lambda d: registry.viterbi_batch(d))

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""End-to-end wideband digitizer -> frames throughput at K channels.
+
+Drives the DEVICE-RESIDENT composition (stream/wideband.py): polyphase
+analysis channelizer (one grouped strided conv, rx/channelizer.py) feeding
+the locked-grid multichannel engine — the SURVEY section 7.4 "64-channel
+bank" deployment shape.  The wideband test signal is synthesized on-device
+(zero-order-hold upsample x K + per-channel mixer tones; the channelizer's
+lowpass absorbs the ZOH images) so only scalars cross the tunnel.
+
+Prints one JSON object on stdout; progress to stderr.  Usage:
+  python tools/wideband_bench.py [--cpu] [--k 64] [--frames 4] [--active 8]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=4,
+                    help="frames per channel per cycle (frame-periodic)")
+    ap.add_argument("--active", type=int, default=8,
+                    help="channels carrying signal (channelizer cost is "
+                         "independent of this; memory is not)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    log(f"platform: {platform}")
+    if platform != "cpu":
+        import threading, os
+        done = threading.Event()
+
+        def _watch():
+            if not done.wait(150):
+                log("pre-flight probe hung; aborting")
+                os._exit(3)
+
+        threading.Thread(target=_watch, daemon=True).start()
+        assert float(jax.jit(lambda: jnp.ones((8, 128)).sum())()) == 1024.0
+        done.set()
+        log("pre-flight ok")
+
+    from opv_tpu.config import CONFIG
+    from opv_tpu.core import build_bert_frame, encode_frame
+    from opv_tpu.core.framing import frame_to_symbol_bits
+    from opv_tpu.stream.wideband import WidebandReceiver
+    from opv_tpu.tx.modulator import mod_reset, modulate_bits_fast
+
+    k, f, act = args.k, args.frames, min(args.active, args.k)
+    spf = CONFIG.samples_per_frame
+    n_ch = f * spf                       # channel-rate samples per cycle
+    n_wb = n_ch * k                      # wideband samples per cycle
+    active = list(range(0, k, max(1, k // act)))[:act]
+
+    frames = build_bert_frame("W5NYV", frame_num=np.arange(f))
+    enc = encode_frame(jnp.asarray(frames))
+    bits = np.asarray(frame_to_symbol_bits(enc)).reshape(-1)
+
+    @jax.jit
+    def synth(bits_dev):
+        iq, _ = modulate_bits_fast(bits_dev, mod_reset())
+        s = (iq[:, 0].astype(jnp.float32) +
+             1j * iq[:, 1].astype(jnp.float32)).astype(jnp.complex64)
+        up = jnp.repeat(s, k)            # ZOH to the wideband rate
+        t = jnp.arange(n_wb, dtype=jnp.float32)
+        wb = jnp.zeros(n_wb, jnp.complex64)
+        for c in active:                 # few channels; python-unrolled
+            tone = jnp.exp(2j * jnp.pi * (c / k) * t).astype(jnp.complex64)
+            wb = wb + up * tone
+        return wb
+
+    wideband = synth(jnp.asarray(bits))
+    jax.block_until_ready(wideband)
+    log(f"wideband synthesized on-device: {n_wb} samples "
+        f"({k} channels, {len(active)} active)")
+
+    rx = WidebandReceiver(k, block_frames=2)
+    quantum = rx._quantum
+    if n_wb < rx.window:
+        raise SystemExit("cycle shorter than one channelizer window")
+    # extend on-device so every chunk is one contiguous static slice
+    x2 = jnp.concatenate([wideband, wideband[: rx.window]])
+    jax.block_until_ready(x2)
+
+    rx.feed(x2[: rx.window])             # prime: history + first quantum
+    pos = rx.window
+    n_cycle_chunks = n_wb // quantum
+    for _ in range(n_cycle_chunks):      # warm every slice offset
+        rx.feed(x2[pos % n_wb: pos % n_wb + quantum])
+        pos += quantum
+
+    dec0 = rx.decoded
+    chunks = args.reps * n_cycle_chunks
+    t0 = time.time()
+    for _ in range(chunks):
+        rx.feed(x2[pos % n_wb: pos % n_wb + quantum])
+        pos += quantum
+    dt = time.time() - t0
+    msps = chunks * quantum / dt / 1e6
+    rt = msps * 1e6 / (k * CONFIG.sample_rate)
+    decoded = rx.decoded - dec0
+    log(f"wideband: {msps:.1f} MS/s ({rt:.2f}x real time at K={k}), "
+        f"{decoded} frames decoded in the timed window")
+
+    res = {"platform": platform, "k": k, "active_channels": len(active),
+           "wideband_msps": round(msps, 2),
+           "x_realtime": round(rt, 3),
+           "frames_decoded_timed": int(decoded),
+           "frames_per_chan_per_cycle": f}
+    out = json.dumps(res)
+    if args.json:
+        open(args.json, "w").write(out + "\n")
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
