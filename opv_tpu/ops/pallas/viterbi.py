@@ -22,6 +22,7 @@ packed words.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +38,12 @@ _FB = CONFIG.frame_bits          # 1072
 _INF = np.int32(0x7FFFFFFF)
 _GUARD = np.int32(0x7FFFFFF0)
 
-B_TILE = 128                     # frames per kernel instance (lane width)
+# frames per kernel instance (lane-axis width, multiple of 128).  The ACS
+# recurrence and traceback are SERIAL over 1072 trellis steps, so per-step
+# loop overhead is amortized over the lane width: wider tiles trade VMEM
+# (~21 KB/frame for soft+decisions+bits) for fewer sequential grid steps.
+# Overridable per-call or via OPV_VITERBI_TILE for hardware sweeps.
+B_TILE = int(os.environ.get("OPV_VITERBI_TILE", "128"))
 
 
 def _expected_cols():
@@ -46,14 +52,15 @@ def _expected_cols():
     return np.stack([e1_0, e2_0, e1_1, e2_1], axis=1).astype(np.int32)
 
 
-def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref):
+def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
+                    *, b_tile):
     e1_0 = exp_ref[:, 0:1]                           # (64, 1)
     e2_0 = exp_ref[:, 1:2]
     e1_1 = exp_ref[:, 2:3]
     e2_1 = exp_ref[:, 3:4]
     soft_max = jnp.int32(CONFIG.soft_max)
 
-    states = jax.lax.broadcasted_iota(jnp.int32, (_NS, B_TILE), 0)
+    states = jax.lax.broadcasted_iota(jnp.int32, (_NS, b_tile), 0)
     weight = jnp.int32(1) << (states % 32)           # per-state pack weight
 
     metrics0 = jnp.where(states == 0, jnp.int32(0), _INF)
@@ -102,36 +109,39 @@ def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref):
     jax.lax.fori_loop(0, _FB, tb_step, best)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "b_tile"))
+def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
+                   b_tile: int | None = None):
     """Batched Viterbi via the Pallas kernel.
 
-    soft: (B, 2144) int32 quantized soft symbols; B padded to B_TILE.
+    soft: (B, 2144) int32 quantized soft symbols; B padded to b_tile
+    (default: module B_TILE / env OPV_VITERBI_TILE).
     Returns (bits (B, 1072) int32, metrics (B,) int32).
     """
+    bt = b_tile or B_TILE
     bsz = soft.shape[0]
-    pad = (-bsz) % B_TILE
+    pad = (-bsz) % bt
     if pad:
         soft = jnp.pad(soft, ((0, pad), (0, 0)))
-    nb = soft.shape[0] // B_TILE
+    nb = soft.shape[0] // bt
     # layout: (1072, 2, Btot) — time major, (g1,g2) sublane, batch lanes
     soft_t = soft.astype(jnp.int32).reshape(-1, _FB, 2).transpose(1, 2, 0)
 
     exp = jnp.asarray(_expected_cols())              # (64, 4)
     bits_t, metric = pl.pallas_call(
-        _viterbi_kernel,
+        functools.partial(_viterbi_kernel, b_tile=bt),
         grid=(nb,),
         in_specs=[pl.BlockSpec((_NS, 4), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((_FB, 2, B_TILE), lambda i: (0, 0, i),
+                  pl.BlockSpec((_FB, 2, bt), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((_FB, B_TILE), lambda i: (0, i),
+        out_specs=(pl.BlockSpec((_FB, bt), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, B_TILE), lambda i: (0, i),
+                   pl.BlockSpec((1, bt), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((_FB, soft.shape[0]), jnp.int32),
                    jax.ShapeDtypeStruct((1, soft.shape[0]), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((_FB, 2, B_TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((_FB, 2, bt), jnp.int32)],
         interpret=interpret,
     )(exp, soft_t)
     return bits_t.T[:bsz], metric[0, :bsz]

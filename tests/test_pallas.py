@@ -54,3 +54,15 @@ class TestPallasViterbi:
         b1, m1 = registry.viterbi_batch(soft)
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    def test_wide_tile_equivalence(self):
+        """Lane-tile widths beyond 128 (serial-chain amortization) decode
+        identically."""
+        rng = np.random.default_rng(4)
+        soft = jnp.asarray(rng.integers(0, 8, (5, CONFIG.encoded_bits))
+                           .astype(np.int32))
+        b1, m1 = viterbi_decode_batch(soft)
+        for bt in (256, 512):
+            b2, m2 = viterbi_pallas(soft, interpret=True, b_tile=bt)
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

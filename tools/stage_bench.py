@@ -45,6 +45,9 @@ def main() -> int:
                     help="viterbi backends to time (default: xla+pallas on "
                          "TPU, xla elsewhere); split runs to keep each "
                          "tunnel session short")
+    ap.add_argument("--tiles", type=int, nargs="+", default=None,
+                    help="extra pallas-viterbi lane-tile widths to sweep "
+                         "(multiples of 128)")
     args = ap.parse_args()
 
     import jax
@@ -139,6 +142,14 @@ def main() -> int:
     qsoft, _ = jax.jit(quantize_soft)(flat)
     deint = jax.jit(lambda x: x[..., jnp.asarray(deinterleave_gather())])(qsoft)
     jax.block_until_ready(deint)
+
+    for t in (args.tiles or []):
+        from opv_tpu.ops.pallas.viterbi import viterbi_pallas
+        f_vt = jax.jit(lambda d, tt=t: viterbi_pallas(
+            d, interpret=(platform != "tpu"), b_tile=tt))
+        tsec, _ = bench(f_vt, deint)
+        res["stages_ms"][f"viterbi_pallas_t{t}"] = tsec * 1e3
+        log(f"viterbi[pallas t={t}]: {tsec*1e3:.2f} ms")
 
     backends = args.backends or (
         ["xla", "pallas"] if platform == "tpu" else ["xla"])
