@@ -92,8 +92,12 @@ def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray):
     first = jnp.argmax(cand, axis=-1).astype(jnp.int32)[:, None]
     idx = jnp.arange(raw.shape[-1], dtype=jnp.int32)[None, :]
     # the normalized metric saturates over a plateau; refine to the raw peak
-    # within one symbol of the first qualifying position
-    near = (idx >= first) & (idx < first + _SPS)
+    # within one symbol CENTERED on the first qualifying position.  The
+    # half-symbol backward reach matters for drift refreshes
+    # (stream/locked.py): a grid that slipped backward by < half a symbol
+    # still qualifies at the stale position, and a forward-only window
+    # would return the stale p0 unchanged.
+    near = (idx >= first - _SPS // 2) & (idx < first + _SPS - _SPS // 2)
     p0 = jnp.argmax(jnp.where(near, raw, -jnp.inf), axis=-1).astype(jnp.int32)
     return p0, found
 
@@ -213,6 +217,27 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     p0_hunt, found = hunt_grid(raw, norm)
     p0 = jnp.where(found, p0_hunt, acquire_grid(raw))
     return _locked_body(samples, p0, freq_offset, n_frames)
+
+
+@jax.jit
+def rx_locked_retime(samples: jnp.ndarray, p0: jnp.ndarray,
+                     freq_offset: jnp.ndarray) -> jnp.ndarray:
+    """Sample-granular timing micro-adjustment for LOCKED channels.
+
+    Evaluates the dense dilated sync correlation in a +-half-symbol
+    neighborhood of the SECOND expected sync in the window (the first may
+    straddle the window start when the clock drifts backward) and returns
+    (C,) int32 deltas in [-20, 20] maximizing raw correlation — the timing
+    feedback the locked grid needs under ppm-scale sample-clock drift
+    (stream/locked.py refresh).  Cost: ~1000 samples of dense correlation
+    per channel, negligible next to the block body.
+    """
+    half = _SPS // 2
+    slab_len = (_SPS + 1) + 23 * _SPS + 39        # 41 sync offsets
+    slab = _slice_rows(samples, p0 + _FS * _SPS - half, slab_len)
+    soft = dense_soft(slab, freq_offset)
+    raw, _ = dense_sync(soft)                     # (C, 41)
+    return jnp.argmax(raw, axis=-1).astype(jnp.int32) - half
 
 
 def _slice_rows(x: jnp.ndarray, starts: jnp.ndarray, length: int) -> jnp.ndarray:

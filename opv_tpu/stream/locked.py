@@ -40,10 +40,42 @@ class LockedStreamDemodulator:
     metric, sync_quality, abs_sample_pos) tuples, where abs_sample_pos is
     the absolute stream index of the frame's sync-word start."""
 
+    #: proactive timing refresh: a locked channel showing early timing-slip
+    #: symptoms gets a per-channel sample-granular p0 correction
+    #: (rx_locked_retime: dense sync correlation over +-half a symbol around
+    #: the next expected sync) at the next block boundary.  A slowly
+    #: drifting sample clock (ppm-scale crystal error) corrupts payload
+    #: soft values BEFORE the 24-symbol sync correlation decays, so two
+    #: triggers are watched:
+    #:   * sync quality below REFRESH_Q (still well above the 0.70 gate),
+    #:   * the Viterbi metric rising REFRESH_METRIC_RISE above the
+    #:     channel's running average (EMA) while above an absolute floor —
+    #:     amplitude-normalized by quantize_soft, so it is a direct FEC-
+    #:     margin gauge; it climbs smoothly with timing error long before
+    #:     frames start failing (~3500 on this code).
+    #: The retimed grid keeps its lock and loses ZERO frames (backward
+    #: wraps emit the straddling frame via an extra slot), instead of
+    #: riding the flywheel into mis-timed frames and a 5-frame drop
+    #: (deliberate improvement over the reference, which has no locked-
+    #: state timing feedback; its AFC handles frequency drift only).
+    #: thresholds sized so the correction lands while timing error is still
+    #: ~1/4 symbol (FEC headroom: frames corrupt near metric ~3400; a late
+    #: trigger is unrecoverable on a backward wrap, which rides the old
+    #: grid one extra block).  The EMA-rise gate keeps steady-noise
+    #: channels (whose absolute metric floor can exceed these values) from
+    #: re-timing every block; a spurious trigger costs one ~1000-sample
+    #: correlation and applies a zero delta.
+    REFRESH_Q = 0.90
+    REFRESH_METRIC_RISE = 400
+    REFRESH_METRIC_MIN = 400
+    _EMA_ALPHA = 0.1
+
     def __init__(self, channels: int, block_frames: int = 4):
         import jax
         import jax.numpy as jnp
-        from opv_tpu.rx.locked import rx_locked_reacquire, rx_locked_steady
+        from opv_tpu.rx.locked import (rx_locked_reacquire, rx_locked_retime,
+                                       rx_locked_steady)
+        self._retime = rx_locked_retime
 
         self.channels = channels
         self.block_frames = block_frames
@@ -66,6 +98,10 @@ class LockedStreamDemodulator:
         self.freq_offset = np.zeros(channels, np.float32)
         self.locked = np.zeros(channels, bool)
         self.miss = np.zeros(channels, np.int32)    # consecutive sync misses
+        self.refresh = np.zeros(channels, bool)     # re-hunt next block
+        self._want_refresh = np.zeros(channels, bool)
+        self.metric_ema = np.full(channels, np.nan)  # per-channel baseline
+        self.refreshes = 0               # completed drift refreshes (p0 moved)
 
         self.decoded = 0
         self.perfect = 0
@@ -75,6 +111,13 @@ class LockedStreamDemodulator:
 
         def steady(buf, p0, foff):
             return rx_locked_steady(buf, p0, foff, n_frames=bf)
+
+        def steady_x(buf, p0, foff):
+            # one extra slot: used on drift-wrap blocks, where a channel's
+            # grid steps back across the window start and the straddling
+            # frame (still fully inside this window's overlap) must be
+            # emitted before the grid advances a frame (see _process)
+            return rx_locked_steady(buf, p0, foff, n_frames=bf + 1)
 
         def reacquire(buf, p0, foff, keep):
             return rx_locked_reacquire(buf, p0, foff, keep, n_frames=bf)
@@ -88,6 +131,7 @@ class LockedStreamDemodulator:
             return jnp.concatenate([kept, pad], axis=1)
 
         self._steady = jax.jit(steady)
+        self._steady_x = jax.jit(steady_x)
         self._reacquire = jax.jit(reacquire)
         self._append = jax.jit(append, donate_argnums=(0,))
         self._slide = jax.jit(slide, donate_argnums=(0,))
@@ -131,16 +175,50 @@ class LockedStreamDemodulator:
 
     def _process(self, valid_limit: int | None = None):
         jnp = self._jnp
+        # timing refresh: micro-adjust p0 for flagged locked channels from
+        # the dense sync correlation around the next expected sync.  Lock
+        # state is untouched — a genuinely faded signal yields delta 0 and
+        # the normal flywheel semantics apply.
+        wrap = np.zeros(self.channels, bool)
+        p0_wrapped = self.p0
+        retune = self.refresh & self.locked
+        if retune.any():
+            delta = np.asarray(self._retime(self._buf, jnp.asarray(self.p0),
+                                            jnp.asarray(self.freq_offset)))
+            delta = np.where(retune, delta, 0).astype(np.int32)
+            p0n = self.p0 + delta
+            # p0n < 0: the drifted grid steps back across the window start.
+            # The straddling frame is still FULLY inside this window (the
+            # overlap is one frame + slack), but its slot on the old grid is
+            # p0 + bf*spf >= advance — normally next block's property.  So:
+            # process this block on the OLD grid with ONE extra slot and
+            # extended ownership (own_extra), then advance the corrected
+            # grid one frame for the next block.  Zero frames lost or
+            # doubled across the wrap.
+            wrap = p0n < 0
+            self.p0 = np.where(wrap, self.p0, p0n).astype(np.int32)
+            p0_wrapped = np.where(wrap, p0n + self.spf, self.p0).astype(np.int32)
+            moved = delta != 0
+            self.refreshes += int(moved.sum())
+            self.metric_ema[moved] = np.nan  # fresh grid -> fresh baseline
+        self.refresh[:] = False
+        self._want_refresh[:] = False
+
         if self.locked.all():
-            out = self._steady(self._buf, jnp.asarray(self.p0),
-                               jnp.asarray(self.freq_offset))
+            run = self._steady_x if wrap.any() else self._steady
+            out = run(self._buf, jnp.asarray(self.p0),
+                      jnp.asarray(self.freq_offset))
         else:
+            # mixed lock states never use the extra-slot program; a wrap
+            # coinciding with another channel's re-acquisition forfeits the
+            # straddler (rare corner; the grid still corrects)
             self.reacquisitions += 1
             out = self._reacquire(self._buf, jnp.asarray(self.p0),
                                   jnp.asarray(self.freq_offset),
                                   jnp.asarray(self.locked))
         prev_locked = self.locked.copy()
-        results = self._emit(out, valid_limit)
+        results = self._emit(out, valid_limit, own_extra=wrap)
+        self.p0 = np.where(wrap, p0_wrapped, self.p0).astype(np.int32)
 
         # A channel that dropped lock during this block (miss limit exceeded)
         # must be re-hunted over THIS window, not the next one: the reference
@@ -158,14 +236,17 @@ class LockedStreamDemodulator:
                                       min_pos=self._dropped_at))
         return self._finish_block(results, valid_limit)
 
-    def _emit(self, out, valid_limit, only=None, min_pos=None):
+    def _emit(self, out, valid_limit, only=None, min_pos=None,
+              own_extra=None):
         """Run the host-side sync lifecycle over one block result.
 
         only: bool (C,) — process just these channels (re-hunt second pass).
         min_pos: int (C,) — reject frames before this window position (the
         grid slot where lock was dropped: everything earlier was already
         emitted or belongs to the dead burst, matching the reference which
-        hunts forward from the drop sample only)."""
+        hunts forward from the drop sample only).
+        own_extra: bool (C,) — extend this channel's block ownership by one
+        frame (drift-wrap straddler, see _process)."""
         q = np.asarray(out["sync_q"])
         raw = np.asarray(out["sync_raw"])
         ok = np.asarray(out["decode_ok"])
@@ -187,10 +268,14 @@ class LockedStreamDemodulator:
         own_end = self.advance if valid_limit is None else vlim
         extent = self.spf + CONFIG.samples_per_symbol  # sync..payload end
         results = []
+        n_slots = frames.shape[1]
         for c in chans:
-            for k in range(self.block_frames):
+            own_c = own_end
+            if own_extra is not None and own_extra[c]:
+                own_c = own_end + self.spf
+            for k in range(n_slots):
                 pos = int(self.p0[c]) + k * self.spf
-                if pos >= own_end or pos + extent > vlim:
+                if pos >= own_c or pos + extent > vlim:
                     continue           # next block's slot / incomplete tail
                 if min_pos is not None and pos < min_pos[c]:
                     continue           # precedes this channel's lock drop
@@ -200,6 +285,17 @@ class LockedStreamDemodulator:
                     if q[c, k] >= CONFIG.sync_locked_norm_thresh:
                         self.miss[c] = 0
                         emit = True
+                        m = int(metrics[c, k])
+                        ema = self.metric_ema[c]
+                        if not np.isfinite(ema):
+                            self.metric_ema[c] = m
+                        else:
+                            if (q[c, k] < self.REFRESH_Q
+                                    or (m > ema + self.REFRESH_METRIC_RISE
+                                        and m > self.REFRESH_METRIC_MIN)):
+                                self._want_refresh[c] = True
+                            self.metric_ema[c] = ((1 - self._EMA_ALPHA) * ema
+                                                  + self._EMA_ALPHA * m)
                     elif self.miss[c] < CONFIG.sync_miss_limit:
                         self.miss[c] += 1      # flywheel frame
                         emit = True
@@ -224,6 +320,7 @@ class LockedStreamDemodulator:
         return results
 
     def _finish_block(self, results, valid_limit):
+        self.refresh = self._want_refresh & self.locked
         if valid_limit is None:
             self._buf = self._slide(self._buf)
             self._count -= self.advance
@@ -244,7 +341,8 @@ class LockedStreamDemodulator:
             buf=self._buf, count=np.int64(self._count),
             abs_base=np.int64(self._abs_base),
             p0=self.p0, freq_offset=self.freq_offset,
-            locked=self.locked, miss=self.miss,
+            locked=self.locked, miss=self.miss, refresh=self.refresh,
+            metric_ema=self.metric_ema,
             decoded=np.int64(self.decoded), perfect=np.int64(self.perfect),
         )
 
@@ -257,5 +355,9 @@ class LockedStreamDemodulator:
         self.freq_offset = np.asarray(tree["freq_offset"], np.float32)
         self.locked = np.asarray(tree["locked"], bool)
         self.miss = np.asarray(tree["miss"], np.int32)
+        if "refresh" in tree:
+            self.refresh = np.asarray(tree["refresh"], bool)
+        if "metric_ema" in tree:
+            self.metric_ema = np.asarray(tree["metric_ema"], np.float64)
         self.decoded = int(tree["decoded"])
         self.perfect = int(tree["perfect"])

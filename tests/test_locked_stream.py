@@ -161,3 +161,36 @@ class TestLockedStream:
         out = _run(sd, x)
         payloads = [r[1] for r in out if r[2] == 0]
         assert payloads == [bytes(f) for f in frames[:5]]
+
+
+class TestDriftRefresh:
+    def test_clock_drift_proactive_refresh(self):
+        """A ppm-scale sample-clock drift decays sync quality; the driver's
+        proactive refresh (re-hunt while the signal still passes hunting
+        thresholds) walks p0 along the drifting grid with zero frame loss —
+        a deliberate improvement over parity (the reference has no locked-
+        state timing feedback; see stream/locked.py REFRESH_Q)."""
+        s, frames = _signal(40)
+        d = 16e-6                                  # +16 ppm clock error
+        n_out = int(len(s) / (1 + d))
+        t = np.arange(n_out) * (1 + d)
+        base = np.arange(len(s), dtype=np.float64)
+        drifted = (np.interp(t, base, s.real)
+                   + 1j * np.interp(t, base, s.imag)).astype(np.complex64)
+
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        res = _run(sd, drifted[None, :])
+
+        # total sync slip is ~55 samples — far beyond the ~15-sample
+        # tolerance cliff of the symbol-grid correlation, so without the
+        # refresh the stream would collapse into flywheel losses mid-way.
+        # The final frame may fall off the drift-shortened tail at flush.
+        got = [r for r in res if r[0] == 0]
+        assert len(got) >= 39, f"lost {40 - len(got)} frames to drift"
+        for k, r in enumerate(got[:39]):
+            assert r[1] == bytes(frames[k]), f"frame {k} corrupt"
+            assert r[3] > 0.85                     # healthy sync throughout
+        # (a 40th tuple, if present, is the reference-faithful flywheel
+        # emission over the drift-truncated tail — content undefined)
+        # the grid moved at least twice (one refresh per ~20 frames)
+        assert sd.refreshes >= 2
