@@ -116,26 +116,54 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
 
     where A/B are tone correlations of each static block masked at t >= r /
     t < r.  The leading per-channel phase drops inside |corr|^2, so the
-    whole stage is ONE batched (C, nsym+1, 40) x (C, 40, 4) matmul + an
-    elementwise combine — a single pass over HBM (the previous formulation
-    python-unrolled one dynamic_slice per channel and materialized a second
-    copy of the block; 64ch x 1.7 Msamples measured 65 ms vs ~1.1 ms HBM
-    roofline — see PERF.md)."""
+    whole stage is ONE batched matmul + an elementwise combine.
+
+    The matmul is REAL-VALUED: a complex64 einsum here lowers to several
+    real matmuls over extracted re/im planes (extra full HBM passes), and
+    its tiny N=4 tiles the MXU at ~1% — measured 9.1 ms vs the 1.1 ms HBM
+    roofline (PERF.md).  Window s becomes 80 floats (re0 im0 re1 im1 ...),
+    and the complex correlation is ONE (C, ns+1, 80) x (C, 80, 8) f32
+    matmul whose kernel rows interleave (k_re, -k_im) for out_re and
+    (k_im, k_re) for out_im.
+
+    `samples` is either (C, N) complex (re-interleaved here: one fused
+    elementwise pass) or — the zero-copy production form — (C, N, 2)
+    float32 IQ pairs exactly as the wire format delivers them."""
     c = samples.shape[0]
-    sym = samples[:, : (nsym + 1) * _SPS].reshape(c, nsym + 1, _SPS)
+    interleaved = samples.ndim == 3
+    real_dt = samples.dtype if interleaved else (
+        jnp.float64 if samples.dtype == jnp.complex128 else jnp.float32)
+    cplx_dt = jnp.complex128 if real_dt == jnp.float64 else jnp.complex64
     freqs = jnp.stack([-CONFIG.freq_dev + freq_offset,
                        CONFIG.freq_dev + freq_offset], axis=-1)   # (C, 2)
     incs = (_TWO_PI / CONFIG.sample_rate) * freqs
     i = jnp.arange(_SPS, dtype=incs.dtype)
-    e = jnp.exp(-1j * incs[:, None, :] * i[None, :, None]).astype(samples.dtype)
+    e = jnp.exp(-1j * incs[:, None, :] * i[None, :, None]).astype(cplx_dt)
     tail = (jnp.arange(_SPS, dtype=jnp.int32)[None, :]
             >= r[:, None])[:, :, None]                            # t >= r
     kern = jnp.concatenate([jnp.where(tail, e, 0),
                             jnp.where(tail, 0, e)], axis=-1)      # (C, 40, 4)
-    ab = jnp.einsum("cst,cto->cso", sym, kern)                    # (C, ns+1, 4)
-    phi = jnp.exp(-1j * incs * _SPS)[:, None, :].astype(samples.dtype)
-    corr = ab[:, :-1, :2] + phi * ab[:, 1:, 2:]                   # (C, nsym, 2)
-    p = corr.real ** 2 + corr.imag ** 2
+    if interleaved:
+        sym_f = samples[:, : (nsym + 1) * _SPS, :].reshape(
+            c, nsym + 1, 2 * _SPS)
+    else:
+        win = samples[:, : (nsym + 1) * _SPS]
+        sym_f = jnp.stack([win.real.astype(real_dt),
+                           win.imag.astype(real_dt)], axis=-1
+                          ).reshape(c, nsym + 1, 2 * _SPS)
+    kr, ki = kern.real, kern.imag                                 # (C, 40, 4)
+    kern_f = jnp.stack(
+        [jnp.concatenate([kr, ki], -1),                           # re row
+         jnp.concatenate([-ki, kr], -1)], axis=2                  # im row
+    ).reshape(c, 2 * _SPS, 8)                 # (C, 80, [Are Bre Aim Bim x2])
+    ab = jnp.einsum("cst,cto->cso", sym_f, kern_f)                # (C,ns+1,8)
+    a_re, b_re = ab[:, :-1, 0:2], ab[:, 1:, 2:4]
+    a_im, b_im = ab[:, :-1, 4:6], ab[:, 1:, 6:8]
+    phi = jnp.exp(-1j * incs * _SPS)[:, None, :]
+    p_re, p_im = phi.real.astype(real_dt), phi.imag.astype(real_dt)
+    c_re = a_re + p_re * b_re - p_im * b_im                       # (C, ns, 2)
+    c_im = a_im + p_re * b_im + p_im * b_re
+    p = c_re ** 2 + c_im ** 2
     return p[..., 1] - p[..., 0]
 
 
@@ -147,7 +175,9 @@ def rx_locked_steady(samples: jnp.ndarray, p0: jnp.ndarray,
     This is the per-block production path: blocks that advance by an exact
     multiple of 86,720 samples keep p0 invariant, so no re-acquisition is
     needed — exactly like the reference's LOCKED state, which only re-checks
-    sync (our per-frame sync_q) rather than re-hunting.  Lock loss shows up
+    sync (our per-frame sync_q) rather than re-hunting.  `samples` may be
+    (C, N) complex or (C, N, 2) float32 IQ pairs (the wire format) — the
+    latter saves a full re-interleave pass over HBM per block.  Lock loss shows up
     as sync_q collapsing; stream.locked.LockedStreamDemodulator watches the
     per-frame q and drives rx_locked_reacquire for the channels that lost it.
     """
@@ -281,7 +311,7 @@ def _extract_frames(soft: jnp.ndarray, k0: jnp.ndarray, n_frames: int):
 
 
 def _locked_body(samples, p0, freq_offset, n_frames: int):
-    c, n = samples.shape
+    c, n = samples.shape[0], samples.shape[1]
     # --- symbol-rate body at the shared timing phase r = p0 mod 40 ---
     r = p0 % _SPS
     k0 = (p0 - r) // _SPS                 # symbol index of the sync start

@@ -21,6 +21,7 @@ Prints one JSON object on stdout; progress to stderr.  Usage:
 """
 
 import argparse
+import functools
 import json
 import pathlib
 import sys
@@ -104,6 +105,10 @@ def main() -> int:
     c, n = samples.shape
     n_total = c * n
     log(f"signal: {c} x {n} samples on {platform}")
+    # production wire form: (C, N, 2) float32 IQ pairs (zero re-interleave)
+    samples_i = jax.jit(lambda s: jnp.stack(
+        [s.real.astype(jnp.float32), s.imag.astype(jnp.float32)], -1))(samples)
+    jax.block_until_ready(samples_i)
 
     acq = rx_locked(samples, n_frames=F, estimate_cfo_flag=True)
     p0, foff = acq["p0"], acq["freq_offset"]
@@ -172,6 +177,69 @@ def main() -> int:
         msps = n_total / t / 1e6
         res[f"steady_{be}_msps"] = msps
         log(f"steady[{be}]: {t*1e3:.2f} ms  -> {msps:.0f} MS/s")
+    registry.set_backend("xla")
+
+    # --- amortized timings: the tunnel's dispatch round trip is ~40-60 ms
+    # (measured via a (8,128) add), so every isolated number above is
+    # RTT-dominated.  TRUE device time comes from running K iterations
+    # inside ONE dispatch and differencing two K values (RTT cancels).
+    # An optimization_barrier ties the loop-invariant input to the
+    # loop-varying digest so XLA can neither hoist the body (LICM) nor
+    # dead-code-eliminate any stage that feeds the digest. ---
+    def amortized(step, x, label, ks=(4, 12)):
+        def body(_i, carry):
+            digest, xx = carry
+            xx, digest = jax.lax.optimization_barrier((xx, digest))
+            return (digest + step(xx).astype(jnp.float32), xx)
+        ts, d0 = [], None
+        for k in ks:
+            f = jax.jit(functools.partial(
+                lambda xx, k: jax.lax.fori_loop(
+                    0, k, body, (jnp.float32(0), xx))[0], k=k))
+            t, d = bench(f, x)
+            if d0 is not None:       # digest must scale exactly with k
+                np.testing.assert_allclose(float(d) / k, d0, rtol=1e-6)
+            d0 = float(d) / k
+            ts.append(t)
+            log(f"{label}_loop[k={k}]: {t*1e3:.2f} ms")
+        per = (ts[1] - ts[0]) / (ks[1] - ks[0])
+        log(f"{label} amortized: {per*1e3:.3f} ms")
+        return per
+
+    per = amortized(lambda s: _symbol_soft_batch(s, r, foff, nsym).sum(),
+                    samples, "soft")
+    res["stages_ms"]["soft_amortized"] = per * 1e3
+    per = amortized(lambda s: _symbol_soft_batch(s, r, foff, nsym).sum(),
+                    samples_i, "soft_ilv")
+    res["stages_ms"]["soft_ilv_amortized"] = per * 1e3
+
+    def _ext_digest(sf):
+        pl, q, raw = _extract_frames(sf, k0, F)
+        return pl.sum() + q.sum() + raw.sum()
+    per = amortized(_ext_digest, soft, "extract")
+    res["stages_ms"]["extract_amortized"] = per * 1e3
+
+    for be in backends:
+        registry.set_backend(be)
+        def _vit_digest(d):
+            bits, metrics = registry.viterbi_batch(d)
+            return (bits.astype(jnp.float32).sum()
+                    + metrics.astype(jnp.float32).sum())
+        per = amortized(_vit_digest, deint, f"viterbi_{be}")
+        res["stages_ms"][f"viterbi_{be}_amortized"] = per * 1e3
+
+        def _steady_digest(s):
+            out = _locked_body(s, p0, foff, F)
+            return (out["n_decoded"].astype(jnp.float32)
+                    + out["metrics"].sum().astype(jnp.float32)
+                    + out["frames"].astype(jnp.int32).sum()
+                      .astype(jnp.float32))
+        per = amortized(_steady_digest, samples_i, f"steady_{be}")
+        res[f"steady_{be}_amortized_ms"] = per * 1e3
+        res[f"steady_{be}_amortized_msps"] = n_total / per / 1e6
+        log(f"steady[{be}] amortized (wire-form input): {per*1e3:.2f} "
+            f"ms/block -> {res[f'steady_{be}_amortized_msps']:.0f} MS/s "
+            f"(dispatch RTT excluded)")
     registry.set_backend("xla")
 
     # --- roofline accounting (v5e: ~819 GB/s HBM, ~197 bf16 TFLOP/s) ---
