@@ -57,7 +57,7 @@ def main(argv=None) -> int:
 
     import numpy as np
     from opv_tpu.config import CONFIG
-    from opv_tpu.io.iq import iq_bytes_to_complex
+    from opv_tpu.io.iq import iq_bytes_to_complex, iq_bytes_to_f32_pairs
     from opv_tpu.utils.display import banner, print_frame, status_line, summary
 
     err = sys.stderr
@@ -119,9 +119,11 @@ def main(argv=None) -> int:
             buf = carry + buf
             usable = len(buf) - len(buf) % quantum
             carry = buf[usable:]
-            x = iq_bytes_to_complex(buf[:usable], dtype=np.complex64)
-            n_samples += len(x)
-            handle(mc.feed(x.reshape(-1, nch).T))
+            # wire-form (C, n, 2) float32 feed: no complex materialization
+            # from stdin to the correlation matmul (see io/iq.py)
+            x = iq_bytes_to_f32_pairs(buf[:usable], channels=nch)
+            n_samples += x.shape[0] * x.shape[1]
+            handle(mc.feed(x))
         handle(mc.flush())
         if not args.quiet:
             summary(mc.decoded, mc.perfect,

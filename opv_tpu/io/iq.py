@@ -30,6 +30,21 @@ def int16_pairs_to_complex(iq: np.ndarray, dtype=np.complex128) -> np.ndarray:
     return (iq[:, 0].astype(np.float64) + 1j * iq[:, 1].astype(np.float64)).astype(dtype)
 
 
+def iq_bytes_to_f32_pairs(buf: bytes | bytearray | memoryview,
+                          channels: int = 1) -> np.ndarray:
+    """Interleaved int16 LE bytes -> (channels, N, 2) float32 IQ pairs.
+
+    The zero-copy wire form the locked-grid pipeline consumes directly
+    (rx/locked.py _symbol_soft_batch): no complex materialization at any
+    point.  Multichannel streams interleave channel pairs per sample
+    instant (I0 Q0 I1 Q1 ...), matching opv-demod --channels framing."""
+    quantum = 4 * channels
+    nb = (len(buf) // quantum) * quantum
+    a = np.frombuffer(buf[:nb] if nb != len(buf) else buf, dtype="<i2")
+    return np.ascontiguousarray(
+        a.astype(np.float32).reshape(-1, channels, 2).transpose(1, 0, 2))
+
+
 def complex_to_iq_bytes(samples: np.ndarray) -> bytes:
     """(N,) complex (already scaled to int16 range) -> wire bytes.
     Truncates toward zero like the reference's static_cast<int16_t>, with

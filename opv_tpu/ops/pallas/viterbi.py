@@ -42,8 +42,16 @@ _GUARD = np.int32(0x7FFFFFF0)
 # recurrence and traceback are SERIAL over 1072 trellis steps, so per-step
 # loop overhead is amortized over the lane width: wider tiles trade VMEM
 # (~21 KB/frame for soft+decisions+bits) for fewer sequential grid steps.
+# Amortized v5e sweep (64ch x 20f = 1280 frames): 128 -> 2.93 ms,
+# 256 -> 2.57 ms, 512 -> scoped-VMEM OOM (16.79 M > 16 M limit).  Default
+# is batch-adaptive: 256 when the batch fills at least one wide tile, 128
+# below that (small streaming batches would pay 2x padding at 256).
 # Overridable per-call or via OPV_VITERBI_TILE for hardware sweeps.
-B_TILE = int(os.environ.get("OPV_VITERBI_TILE", "128"))
+B_TILE = int(os.environ.get("OPV_VITERBI_TILE", "0")) or None
+
+
+def _default_tile(bsz: int) -> int:
+    return B_TILE or (256 if bsz >= 256 else 128)
 
 
 def _expected_cols():
@@ -115,10 +123,10 @@ def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
     """Batched Viterbi via the Pallas kernel.
 
     soft: (B, 2144) int32 quantized soft symbols; B padded to b_tile
-    (default: module B_TILE / env OPV_VITERBI_TILE).
+    (default: batch-adaptive 256/128, env OPV_VITERBI_TILE overrides).
     Returns (bits (B, 1072) int32, metrics (B,) int32).
     """
-    bt = b_tile or B_TILE
+    bt = b_tile or _default_tile(soft.shape[0])
     bsz = soft.shape[0]
     pad = (-bsz) % bt
     if pad:

@@ -26,6 +26,13 @@ The sample buffer is device-resident: callers may feed jax arrays that
 never touch the host (bench.py does), and only decoded frames/scalars are
 fetched.  All channels advance in lockstep; each block is ONE jit-compiled
 device invocation.
+
+The buffer holds (C, window, 2) float32 IQ pairs — the wire format — so
+the steady body's real-valued correlation matmul reads it zero-copy
+(rx/locked.py _symbol_soft_batch); complex is materialized only on the
+rare re-acquire / retime paths, which need the dense complex correlators.
+Callers may feed (C, n) complex (converted on append, one fused pass over
+the chunk) or (C, n, 2) float32 directly (no conversion anywhere).
 """
 
 from __future__ import annotations
@@ -75,7 +82,12 @@ class LockedStreamDemodulator:
         import jax.numpy as jnp
         from opv_tpu.rx.locked import (rx_locked_reacquire, rx_locked_retime,
                                        rx_locked_steady)
-        self._retime = rx_locked_retime
+
+        def _cplx(buf):                  # (C, n, 2) f32 -> (C, n) c64
+            return jax.lax.complex(buf[..., 0], buf[..., 1])
+
+        self._retime = jax.jit(
+            lambda b, p, f: rx_locked_retime(_cplx(b), p, f))
 
         self.channels = channels
         self.block_frames = block_frames
@@ -89,7 +101,7 @@ class LockedStreamDemodulator:
         self.window = (block_frames + 1) * spf + 1040
         self._jnp = jnp
 
-        self._buf = jnp.zeros((channels, self.window), jnp.complex64)
+        self._buf = jnp.zeros((channels, self.window, 2), jnp.float32)
         self._count = 0                 # valid samples in buffer
         self._abs_base = 0              # absolute index of buffer sample 0
 
@@ -120,38 +132,48 @@ class LockedStreamDemodulator:
             return rx_locked_steady(buf, p0, foff, n_frames=bf + 1)
 
         def reacquire(buf, p0, foff, keep):
-            return rx_locked_reacquire(buf, p0, foff, keep, n_frames=bf)
+            return rx_locked_reacquire(_cplx(buf), p0, foff, keep,
+                                       n_frames=bf)
 
         def append(buf, count, x):
-            return jax.lax.dynamic_update_slice(buf, x, (0, count))
+            return jax.lax.dynamic_update_slice(buf, x, (0, count, 0))
+
+        def append_c(buf, count, x):     # complex chunk -> IQ pairs, fused
+            xi = jnp.stack([x.real.astype(jnp.float32),
+                            x.imag.astype(jnp.float32)], axis=-1)
+            return jax.lax.dynamic_update_slice(buf, xi, (0, count, 0))
 
         def slide(buf):
             kept = buf[:, self.advance:]
-            pad = jnp.zeros((channels, self.advance), buf.dtype)
+            pad = jnp.zeros((channels, self.advance, 2), buf.dtype)
             return jnp.concatenate([kept, pad], axis=1)
 
         self._steady = jax.jit(steady)
         self._steady_x = jax.jit(steady_x)
         self._reacquire = jax.jit(reacquire)
         self._append = jax.jit(append, donate_argnums=(0,))
+        self._append_c = jax.jit(append_c, donate_argnums=(0,))
         self._slide = jax.jit(slide, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ #
 
     def feed(self, samples):
-        """samples: (C, n) complex64 (numpy or jax array).  Returns decoded
-        frame tuples for every full window completed by this feed."""
+        """samples: (C, n) complex64 OR (C, n, 2) float32 IQ pairs (numpy
+        or jax array; the latter skips all format conversion).  Returns
+        decoded frame tuples for every full window completed by this feed."""
         jnp = self._jnp
         if samples.shape[0] != self.channels:
             raise ValueError(f"expected {self.channels} channels")
-        x = jnp.asarray(samples, jnp.complex64)
+        ilv = samples.ndim == 3
+        x = jnp.asarray(samples,
+                        jnp.float32 if ilv else jnp.complex64)
+        append = self._append if ilv else self._append_c
         out = []
         off = 0
         n = x.shape[1]
         while off < n:
             take = min(self.window - self._count, n - off)
-            self._buf = self._append(self._buf, self._count,
-                                     x[:, off:off + take])
+            self._buf = append(self._buf, self._count, x[:, off:off + take])
             self._count += take
             off += take
             if self._count >= self.window:
@@ -347,8 +369,14 @@ class LockedStreamDemodulator:
         )
 
     def load_state_tree(self, tree) -> None:
-        """Adopt a state produced by state_tree() (e.g. via load_state)."""
-        self._buf = self._jnp.asarray(tree["buf"])
+        """Adopt a state produced by state_tree() (e.g. via load_state).
+        Accepts both buffer layouts: (C, window, 2) float32 IQ pairs
+        (current) and (C, window) complex64 (pre-wire-form checkpoints)."""
+        buf = self._jnp.asarray(tree["buf"])
+        if buf.ndim == 2:
+            buf = self._jnp.stack([buf.real.astype(self._jnp.float32),
+                                   buf.imag.astype(self._jnp.float32)], -1)
+        self._buf = buf
         self._count = int(tree["count"])
         self._abs_base = int(tree["abs_base"])
         self.p0 = np.asarray(tree["p0"], np.int32)

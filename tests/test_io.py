@@ -3,7 +3,8 @@
 import numpy as np
 import pytest
 
-from opv_tpu.io.iq import complex_to_iq_bytes, iq_bytes_to_complex
+from opv_tpu.io.iq import (complex_to_iq_bytes, iq_bytes_to_complex,
+                           iq_bytes_to_f32_pairs)
 from opv_tpu.runtime import HAVE_NATIVE
 
 
@@ -16,6 +17,23 @@ class TestIQWire:
         np.testing.assert_array_equal(c.real, iq[:, 0])
         np.testing.assert_array_equal(c.imag, iq[:, 1])
         assert iq_bytes_to_complex(buf, dtype=np.complex64).dtype == np.complex64
+
+    def test_f32_pairs_matches_complex(self):
+        rng = np.random.default_rng(3)
+        iq = rng.integers(-16384, 16384, size=(24, 2), dtype=np.int16)
+        buf = iq.astype("<i2").tobytes()
+        # single channel: pairs view == complex view, channel-major
+        p = iq_bytes_to_f32_pairs(buf)
+        assert p.shape == (1, 24, 2) and p.dtype == np.float32
+        c = iq_bytes_to_complex(buf, dtype=np.complex64)
+        np.testing.assert_array_equal(p[0, :, 0] + 1j * p[0, :, 1], c)
+        # 3 channels, sample-interleaved I0 Q0 I1 Q1 I2 Q2 per instant
+        p3 = iq_bytes_to_f32_pairs(buf, channels=3)
+        assert p3.shape == (3, 8, 2)
+        np.testing.assert_array_equal(
+            p3[1, :, 0] + 1j * p3[1, :, 1], c.reshape(-1, 3).T[1])
+        # trailing partial instant dropped
+        assert iq_bytes_to_f32_pairs(buf + b"xy", channels=3).shape == (3, 8, 2)
 
     def test_odd_length_truncated(self):
         buf = b"\x01\x02\x03\x04\x05"     # 1.25 samples

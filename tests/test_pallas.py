@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from opv_tpu.config import CONFIG
 from opv_tpu.core.convcode import conv_encode_bits_np
-from opv_tpu.ops.pallas.viterbi import viterbi_pallas, B_TILE
+from opv_tpu.ops.pallas.viterbi import viterbi_pallas, _default_tile
 from opv_tpu.rx.viterbi import viterbi_decode_batch
 
 
@@ -32,7 +32,7 @@ class TestPallasViterbi:
     def test_batch_padding(self):
         """Batch sizes that are not multiples of B_TILE are padded/cropped."""
         rng = np.random.default_rng(2)
-        for b in (1, B_TILE, B_TILE + 3):
+        for b in (1, _default_tile(1), _default_tile(1) + 3, 300):
             soft = jnp.asarray(rng.integers(0, 8, (b, CONFIG.encoded_bits))
                                .astype(np.int32))
             b1, m1 = viterbi_decode_batch(soft)
