@@ -12,10 +12,12 @@ TPU-first redesign for the production use case (many concurrent channels from
 locked-clock SDR front-ends; the tracking-loop path in rx/demod.py remains
 the reference-parity / drifting-clock fallback):
 
-* **Dense correlator bank as convolutions**: the integrate-and-dump
-  correlation of both tone LOs is computed at EVERY sample offset as a
-  40-tap convolution (4 real convs) — this subsumes symbol-timing search
-  entirely; there is no timing loop and no separate phase estimator.
+* **Dense correlator bank as one matmul**: the integrate-and-dump
+  correlation of both tone LOs at EVERY sample offset, phase-decomposed
+  onto the 40-sample symbol grid so the whole bank is a single
+  (C, M, 80) x (C, 80, 320) real matmul (windows read once, MXU-friendly
+  tiles) — this subsumes symbol-timing search entirely; there is no
+  timing loop and no separate phase estimator.
 
 * **Dilated sync correlation**: the 24-symbol sync pattern is correlated
   against the dense soft stream with a stride-40 dilated conv, giving a
@@ -53,49 +55,59 @@ _SB = CONFIG.sync_bits
 _EB = CONFIG.encoded_bits
 
 
-def _tone_kernels(freq_offset: jnp.ndarray) -> jnp.ndarray:
-    """(C,) Hz -> (C, 4, 2, 40) conv kernels computing the complex
-    correlation of both tones as 4 real outputs (re1, im1, re2, im2) from 2
-    real inputs (I, Q).
-
-    corr_t[n] = sum_i s[n+i] * conj(lo_t[i]),  lo_t[i] = exp(j inc_t i):
-      re = sr*lr + si*li,  im = si*lr - sr*li.
-    """
-    freqs = jnp.stack([-CONFIG.freq_dev + freq_offset,
-                       CONFIG.freq_dev + freq_offset], axis=-1)   # (C, 2)
-    incs = (_TWO_PI / CONFIG.sample_rate) * freqs
-    i = jnp.arange(_SPS, dtype=incs.dtype)
-    ph = incs[..., None] * i                                      # (C, 2, 40)
-    lr, li = jnp.cos(ph), jnp.sin(ph)
-    z = jnp.zeros_like(lr)
-    # rows: outputs; cols: input channel (I=sr, Q=si)
-    k = jnp.stack([
-        jnp.stack([lr[:, 0], li[:, 0]], axis=1),     # re1
-        jnp.stack([-li[:, 0], lr[:, 0]], axis=1),    # im1
-        jnp.stack([lr[:, 1], li[:, 1]], axis=1),     # re2
-        jnp.stack([-li[:, 1], lr[:, 1]], axis=1),    # im2
-    ], axis=1)                                       # (C, 4, 2, 40)
-    return k
-
-
 def dense_soft(samples: jnp.ndarray, freq_offset: jnp.ndarray) -> jnp.ndarray:
     """(C, N) complex IQ -> (C, N-39) soft decision at every sample offset.
 
     soft[n] = |corr_f2[n]|^2 - |corr_f1[n]|^2 — the reference's non-coherent
     metric (opv-demod.cpp:264-268), densely evaluated.
+
+    Formulated as the locked-grid correlation (rx/locked.py
+    _symbol_soft_batch) evaluated at ALL 40 sample phases in one real
+    matmul: position p = 40s + r splits at the static block boundary,
+
+        corr_r(s) = e^{j inc r} (A_r(s) + e^{-40j inc} B_r(s+1)),
+
+    A_r/B_r masking the shared tone vectors at t >= r / t < r, and the
+    leading phase dropping inside |.|^2.  The windows tensor (C, M, 80) is
+    a free reshape read ONCE by a (C, 80, 320)-kernel matmul — K=80, N=320
+    tiles the MXU well.  The previous per-channel vmapped 2-feature NCH
+    conv forced XLA-TPU into (8,128)-padded layouts on the size-2 feature
+    axis: a 64ch x 434k-sample re-acquire block allocated 13.26 GB of
+    padding (64x expansion) and failed to compile at all on a 16 GB chip.
     """
-    c = samples.shape[0]
-    x = jnp.stack([samples.real, samples.imag], axis=1)           # (C, 2, N)
-    k = _tone_kernels(freq_offset.astype(samples.real.dtype))
-    # per-channel kernels: use batch-grouped conv via vmap over channels
-    def one(xc, kc):
-        return jax.lax.conv_general_dilated(
-            xc[None], kc, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))[0]           # (4, N-39)
-    y = jax.vmap(one)(x, k)                                       # (C, 4, M)
-    p1 = y[:, 0] ** 2 + y[:, 1] ** 2
-    p2 = y[:, 2] ** 2 + y[:, 3] ** 2
-    return p2 - p1
+    c, n = samples.shape
+    real_dt = (jnp.float64 if samples.dtype == jnp.complex128
+               else jnp.float32)
+    m2 = -(-n // _SPS)                               # ceil(N / 40)
+    x = jnp.pad(samples, ((0, 0), (0, (m2 + 1) * _SPS - n)))
+    sym_f = jnp.stack([x.real.astype(real_dt), x.imag.astype(real_dt)],
+                      axis=-1).reshape(c, m2 + 1, 2 * _SPS)
+    freqs = jnp.stack([-CONFIG.freq_dev + freq_offset,
+                       CONFIG.freq_dev + freq_offset], axis=-1)   # (C, 2)
+    incs = ((_TWO_PI / CONFIG.sample_rate) * freqs).astype(real_dt)
+    i = jnp.arange(_SPS, dtype=real_dt)
+    e = jnp.exp(-1j * incs[:, None, :] * i[None, :, None])        # (C, 40, 2)
+    maskA = (jnp.arange(_SPS)[None, :, None] >=
+             jnp.arange(_SPS)[None, None, :])[..., None]   # (1, t, r, 1)
+    ka = jnp.where(maskA, e[:, :, None, :], 0)              # (C, 40, 40, 2)
+    kb = jnp.where(maskA, 0, e[:, :, None, :])
+    kern = jnp.concatenate([ka, kb], axis=-1)               # (C, 40, 40, 4)
+    kr, ki = kern.real, kern.imag
+    kern_f = jnp.stack(
+        [jnp.concatenate([kr, ki], -1),                     # re rows
+         jnp.concatenate([-ki, kr], -1)], axis=2            # im rows
+    ).reshape(c, 2 * _SPS, _SPS, 8)                  # (C, 80, 40 phases, 8)
+    ab = jnp.einsum("cst,ctro->csro", sym_f, kern_f)        # (C, M+1, 40, 8)
+    a_re, b_re = ab[:, :-1, :, 0:2], ab[:, 1:, :, 2:4]
+    a_im, b_im = ab[:, :-1, :, 4:6], ab[:, 1:, :, 6:8]
+    phi = jnp.exp(-1j * incs * _SPS)[:, None, None, :]
+    c_re = a_re + phi.real.astype(real_dt) * b_re - \
+        phi.imag.astype(real_dt) * b_im                     # (C, M, 40, 2)
+    c_im = a_im + phi.real.astype(real_dt) * b_im + \
+        phi.imag.astype(real_dt) * b_re
+    p = c_re ** 2 + c_im ** 2
+    soft = (p[..., 1] - p[..., 0]).reshape(c, m2 * _SPS)    # index 40s + r
+    return soft[:, : n - _SPS + 1]
 
 
 def dense_sync(soft: jnp.ndarray):

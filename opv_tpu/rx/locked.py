@@ -156,7 +156,8 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
         [jnp.concatenate([kr, ki], -1),                           # re row
          jnp.concatenate([-ki, kr], -1)], axis=2                  # im row
     ).reshape(c, 2 * _SPS, 8)                 # (C, 80, [Are Bre Aim Bim x2])
-    ab = jnp.einsum("cst,cto->cso", sym_f, kern_f)                # (C,ns+1,8)
+    from opv_tpu.ops import registry
+    ab = registry.symbol_corr(sym_f, kern_f)                      # (C,ns+1,8)
     a_re, b_re = ab[:, :-1, 0:2], ab[:, 1:, 2:4]
     a_im, b_im = ab[:, :-1, 4:6], ab[:, 1:, 6:8]
     phi = jnp.exp(-1j * incs * _SPS)[:, None, :]

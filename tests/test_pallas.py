@@ -66,3 +66,25 @@ class TestPallasViterbi:
             b2, m2 = viterbi_pallas(soft, interpret=True, b_tile=bt)
             np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
             np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+class TestPallasCorrelator:
+    def test_matches_einsum_with_ragged_tail(self):
+        """Interpret-mode kernel == XLA einsum, incl. the tail split that
+        registry.symbol_corr routes around the TM tiling."""
+        from opv_tpu.ops import registry
+        from opv_tpu.ops.pallas.correlate import TM
+        rng = np.random.default_rng(5)
+        for m in (TM, TM + 37, 64):          # exact, ragged, tail-only
+            sym = jnp.asarray(rng.standard_normal((2, m, 80)), jnp.float32)
+            kern = jnp.asarray(rng.standard_normal((2, 80, 8)), jnp.float32)
+            want = jnp.einsum("cst,cto->cso", sym, kern)
+            import os
+            os.environ["OPV_CORR"] = "pallas_interpret"
+            try:
+                got = registry.symbol_corr(sym, kern)
+            finally:
+                del os.environ["OPV_CORR"]
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-6, atol=1e-4)
+

@@ -23,6 +23,7 @@ Prints one JSON object on stdout; progress to stderr.  Usage:
 import argparse
 import functools
 import json
+import os
 import pathlib
 import sys
 import time
@@ -221,6 +222,13 @@ def main() -> int:
 
     for be in backends:
         registry.set_backend(be)
+        if os.environ.get("OPV_CORR", "xla") != "xla":
+            # correlator experiment (OPV_CORR=pallas): time the soft stage
+            # under the alternate kernel
+            per = amortized(lambda s: _symbol_soft_batch(s, r, foff, nsym).sum(),
+                            samples_i, f"soft_ilv_{be}")
+            res["stages_ms"][f"soft_ilv_{be}_amortized"] = per * 1e3
+
         def _vit_digest(d):
             bits, metrics = registry.viterbi_batch(d)
             return (bits.astype(jnp.float32).sum()
