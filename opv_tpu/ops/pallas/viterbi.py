@@ -49,6 +49,15 @@ _GUARD = np.int32(0x7FFFFFF0)
 # Overridable per-call or via OPV_VITERBI_TILE for hardware sweeps.
 B_TILE = int(os.environ.get("OPV_VITERBI_TILE", "0")) or None
 
+# trellis steps per loop iteration (ACS and traceback).  The vector work
+# per step is fixed; unrolling U steps per iteration divides BOTH the
+# serial-loop management overhead and the number of dynamically indexed
+# VMEM accesses by U (soft loads / decision stores become one (U, 2, B)
+# block access instead of U separate (2, B) ones).  Must divide 1072
+# (= 16 x 67): 1, 2, 4, 8, 16.  Default stays 1 until the hardware sweep
+# (interpret mode accepts layouts Mosaic refuses — see CLAUDE.md).
+UNROLL = int(os.environ.get("OPV_VITERBI_UNROLL", "1"))
+
 
 def _default_tile(bsz: int) -> int:
     return B_TILE or (256 if bsz >= 256 else 128)
@@ -61,7 +70,7 @@ def _expected_cols():
 
 
 def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
-                    *, b_tile):
+                    *, b_tile, unroll):
     e1_0 = exp_ref[:, 0:1]                           # (64, 1)
     e2_0 = exp_ref[:, 1:2]
     e1_1 = exp_ref[:, 2:3]
@@ -73,10 +82,9 @@ def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
 
     metrics0 = jnp.where(states == 0, jnp.int32(0), _INF)
 
-    def acs_step(t, metrics):
-        sg = soft_ref[t]                             # (2, B)
-        sg1 = sg[0:1, :]                             # (1, B)
-        sg2 = sg[1:2, :]
+    def acs_sub(metrics, sg1, sg2):
+        """One radix-2 ACS update from (1, B) soft rows -> metrics, (2, B)
+        packed survivor words."""
         bm0 = jnp.where(e1_0 == 1, soft_max - sg1, sg1) + \
               jnp.where(e2_0 == 1, soft_max - sg2, sg2)      # (64, B)
         bm1 = jnp.where(e1_1 == 1, soft_max - sg1, sg1) + \
@@ -93,10 +101,22 @@ def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
         packed = dec * weight
         w0 = jnp.sum(packed[: _NS // 2], axis=0, keepdims=True)   # (1, B)
         w1 = jnp.sum(packed[_NS // 2 :], axis=0, keepdims=True)
-        dec_ref[t] = jnp.concatenate([w0, w1], axis=0)            # (2, B)
-        return jnp.where(dec == 1, m1, m0)
+        return (jnp.where(dec == 1, m1, m0),
+                jnp.concatenate([w0, w1], axis=0))
 
-    metrics = jax.lax.fori_loop(0, _FB, acs_step, metrics0)
+    def acs_block(j, metrics):
+        # one dynamic load / store of `unroll` trellis steps; the sub-steps
+        # index the loaded block statically
+        t = j * unroll
+        sg_u = soft_ref[pl.ds(t, unroll)]            # (U, 2, B)
+        words = []
+        for k in range(unroll):
+            metrics, w = acs_sub(metrics, sg_u[k, 0:1, :], sg_u[k, 1:2, :])
+            words.append(w[None])
+        dec_ref[pl.ds(t, unroll)] = jnp.concatenate(words, axis=0)
+        return metrics
+
+    metrics = jax.lax.fori_loop(0, _FB // unroll, acs_block, metrics0)
 
     # Mosaic argmin supports float32 only, and its tie-breaking differs from
     # XLA's first-occurrence rule (the reference scans states upward,
@@ -106,26 +126,35 @@ def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
     best = jnp.argmin(composite, axis=0, keepdims=True).astype(jnp.int32)
     metric_ref[pl.ds(0, 1)] = jnp.min(metrics, axis=0, keepdims=True)
 
-    def tb_step(i, s):                                           # s (1, B)
-        t = _FB - 1 - i
-        bits_ref[pl.ds(t, 1)] = s & 1
-        words = dec_ref[t]                                       # (2, B)
-        sel = jnp.where(s < _NS // 2, words[0:1, :], words[1:2, :])
-        took_p1 = (sel >> (s % 32)) & 1
-        return jnp.where(took_p1 == 1, (s >> 1) + _NS // 2, s >> 1)
+    def tb_block(j, s):                                          # s (1, B)
+        tb = _FB - unroll - j * unroll
+        words_u = dec_ref[pl.ds(tb, unroll)]                     # (U, 2, B)
+        bits = [None] * unroll
+        for k in reversed(range(unroll)):
+            bits[k] = s & 1
+            words = words_u[k]                                   # (2, B)
+            sel = jnp.where(s < _NS // 2, words[0:1, :], words[1:2, :])
+            took_p1 = (sel >> (s % 32)) & 1
+            s = jnp.where(took_p1 == 1, (s >> 1) + _NS // 2, s >> 1)
+        bits_ref[pl.ds(tb, unroll)] = jnp.concatenate(bits, axis=0)
+        return s
 
-    jax.lax.fori_loop(0, _FB, tb_step, best)
+    jax.lax.fori_loop(0, _FB // unroll, tb_block, best)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "b_tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "b_tile", "unroll"))
 def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
-                   b_tile: int | None = None):
+                   b_tile: int | None = None, unroll: int | None = None):
     """Batched Viterbi via the Pallas kernel.
 
     soft: (B, 2144) int32 quantized soft symbols; B padded to b_tile
     (default: batch-adaptive 256/128, env OPV_VITERBI_TILE overrides).
+    unroll: trellis steps per loop iteration (default UNROLL /
+    OPV_VITERBI_UNROLL; must divide 1072).
     Returns (bits (B, 1072) int32, metrics (B,) int32).
     """
+    u = unroll or UNROLL
+    assert _FB % u == 0, u
     bt = b_tile or _default_tile(soft.shape[0])
     bsz = soft.shape[0]
     pad = (-bsz) % bt
@@ -137,7 +166,7 @@ def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
 
     exp = jnp.asarray(_expected_cols())              # (64, 4)
     bits_t, metric = pl.pallas_call(
-        functools.partial(_viterbi_kernel, b_tile=bt),
+        functools.partial(_viterbi_kernel, b_tile=bt, unroll=u),
         grid=(nb,),
         in_specs=[pl.BlockSpec((_NS, 4), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),

@@ -67,6 +67,18 @@ class TestPallasViterbi:
             np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
             np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
 
+    def test_unroll_equivalence(self):
+        """Every trellis-step unroll factor (U-step block loads/stores in
+        ACS and traceback) decodes identically to the XLA scan."""
+        rng = np.random.default_rng(6)
+        soft = jnp.asarray(rng.integers(0, 256, (3, CONFIG.encoded_bits))
+                           .astype(np.int32))
+        b1, m1 = viterbi_decode_batch(soft)
+        for u in (1, 2, 8, 16):
+            b2, m2 = viterbi_pallas(soft, interpret=True, unroll=u)
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
 
 class TestPallasCorrelator:
     def test_matches_einsum_with_ragged_tail(self):
