@@ -50,6 +50,9 @@ def main() -> int:
     ap.add_argument("--tiles", type=int, nargs="+", default=None,
                     help="extra pallas-viterbi lane-tile widths to sweep "
                          "(multiples of 128)")
+    ap.add_argument("--vit", nargs="+", default=None, metavar="TILE,UNROLL",
+                    help="amortized pallas-viterbi (lane_tile, unroll) "
+                         "combos to sweep, e.g. --vit 256,1 256,4 128,8")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +66,7 @@ def main() -> int:
     if platform != "cpu":
         # pre-flight probe with hard watchdog (see bench.py: a wedged tunnel
         # hangs in uninterruptible fetches)
-        import threading, os
+        import threading
         done = threading.Event()
 
         def _watch():
@@ -219,6 +222,19 @@ def main() -> int:
         return pl.sum() + q.sum() + raw.sum()
     per = amortized(_ext_digest, soft, "extract")
     res["stages_ms"]["extract_amortized"] = per * 1e3
+
+    for spec in (args.vit or []):
+        # amortized (tile, unroll) sweep — isolated timings are RTT-bound
+        from opv_tpu.ops.pallas.viterbi import viterbi_pallas
+        bt, u = (int(v) for v in spec.split(","))
+
+        def _vp_digest(d, bt=bt, u=u):
+            bits, metrics = viterbi_pallas(d, interpret=(platform != "tpu"),
+                                           b_tile=bt, unroll=u)
+            return (bits.astype(jnp.float32).sum()
+                    + metrics.astype(jnp.float32).sum())
+        per = amortized(_vp_digest, deint, f"viterbi_p_t{bt}u{u}")
+        res["stages_ms"][f"viterbi_p_t{bt}u{u}_amortized"] = per * 1e3
 
     for be in backends:
         registry.set_backend(be)
