@@ -54,9 +54,12 @@ B_TILE = int(os.environ.get("OPV_VITERBI_TILE", "0")) or None
 # serial-loop management overhead and the number of dynamically indexed
 # VMEM accesses by U (soft loads / decision stores become one (U, 2, B)
 # block access instead of U separate (2, B) ones).  Must divide 1072
-# (= 16 x 67): 1, 2, 4, 8, 16.  Default stays 1 until the hardware sweep
-# (interpret mode accepts layouts Mosaic refuses — see CLAUDE.md).
-UNROLL = int(os.environ.get("OPV_VITERBI_UNROLL", "1"))
+# (= 16 x 67): 1, 2, 4, 8, 16.  v5e amortized sweep at t256, 1280 frames
+# (fetch-timed, interleaved reps): u1 1.70-1.94, u2 1.47-1.49, u4 1.52-1.82,
+# u8 2.01, u16 2.10 ms — u2 wins; past u4 the longer kernel body loses more
+# to scheduling than the loop amortization gains.  Hardware-validated
+# bit-exact vs the XLA scan for every factor.
+UNROLL = int(os.environ.get("OPV_VITERBI_UNROLL", "2"))
 
 
 def _default_tile(bsz: int) -> int:
@@ -129,14 +132,18 @@ def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
     def tb_block(j, s):                                          # s (1, B)
         tb = _FB - unroll - j * unroll
         words_u = dec_ref[pl.ds(tb, unroll)]                     # (U, 2, B)
-        bits = [None] * unroll
+        # bits are stored one row at a time: a multi-row dynamic store on
+        # the 2-D (1072, B) ref hits the sublane axis, and Mosaic requires
+        # provable 8-alignment there ("cannot statically prove that index
+        # in dimension 0 is a multiple of 8"); single-row stores lower at
+        # any index.  The expensive access (the decision-word load) is
+        # still one (U, 2, B) block per iteration.
         for k in reversed(range(unroll)):
-            bits[k] = s & 1
+            bits_ref[pl.ds(tb + k, 1)] = s & 1
             words = words_u[k]                                   # (2, B)
             sel = jnp.where(s < _NS // 2, words[0:1, :], words[1:2, :])
             took_p1 = (sel >> (s % 32)) & 1
             s = jnp.where(took_p1 == 1, (s >> 1) + _NS // 2, s >> 1)
-        bits_ref[pl.ds(tb, unroll)] = jnp.concatenate(bits, axis=0)
         return s
 
     jax.lax.fori_loop(0, _FB // unroll, tb_block, best)

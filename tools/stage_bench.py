@@ -121,14 +121,26 @@ def main() -> int:
     r = p0 % sps
     k0 = (p0 - r) // sps
 
+    def _wait(out):
+        # On the axon tunnel block_until_ready has been observed returning
+        # BEFORE execution (a 50-iteration kernel loop "finished" in 60 us);
+        # fetching a value is the only reliable wait.  Scalar outputs are
+        # fetched (KB-scale, safe); larger outputs fall back to block (the
+        # amortized paths — the honest numbers — all digest to scalars).
+        for leaf in jax.tree_util.tree_leaves(out):
+            if getattr(leaf, "size", 0) == 1:
+                np.asarray(leaf)
+            else:
+                jax.block_until_ready(leaf)
+
     def bench(fn, *a):
         out = fn(*a)
-        jax.block_until_ready(out)
+        _wait(out)
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             out = fn(*a)
-            jax.block_until_ready(out)
+            _wait(out)
             ts.append(time.perf_counter() - t0)
         return min(ts), out
 
@@ -190,7 +202,7 @@ def main() -> int:
     # An optimization_barrier ties the loop-invariant input to the
     # loop-varying digest so XLA can neither hoist the body (LICM) nor
     # dead-code-eliminate any stage that feeds the digest. ---
-    def amortized(step, x, label, ks=(4, 12)):
+    def amortized(step, x, label, ks=(10, 50)):
         def body(_i, carry):
             digest, xx = carry
             xx, digest = jax.lax.optimization_barrier((xx, digest))
