@@ -50,16 +50,49 @@ def symbol_corr(sym_f, kern_f):
     """Dispatch the soft-stage window correlation:
     (C, M, 80) f32 x (C, 80, 8) f32 -> (C, M, 8) f32.
 
-    Default is the XLA einsum on EVERY backend: it measures 2.2 ms/block
-    amortized (64ch x 20f, ~2x the HBM roofline) while the Pallas tiling
-    in ops/pallas/correlate.py measured 28.7 ms — the (TM, 80) x (80, 8)
-    dot puts the contraction on the lane axis and N=8 on the output lanes,
-    forcing Mosaic relayouts every grid step (negative result recorded in
-    PERF.md).  The kernel stays available for layout experiments via
-    OPV_CORR=pallas (or pallas_interpret off-TPU)."""
+    Default is the XLA einsum everywhere, with f32 accumulation forced
+    (preferred_element_type): on this TPU's flag set
+    (--xla_allow_excess_precision=true) XLA demotes f32 matmul operands to
+    bf16 anyway, so callers that keep their sample buffers in bf16
+    (stream/locked.py on TPU) skip the 890 MB convert-copy pass entirely
+    and halve the stage's HBM read.
+
+    Two measured NEGATIVE results kept as OPV_CORR experiments (PERF.md):
+    * pallas (ops/pallas/correlate.py): 28.7 ms v1 (lane-axis contraction
+      relayouts) / 9.3 ms v2 (in-kernel transposed tiles) vs ~4 ms einsum.
+    * blockdiag: folding g=16 windows into (M/16, 1280) x (1280, 128)
+      rows for exact MXU tiling — the reshape is NOT free under (8,128)
+      tiled layouts (XLA inserts a second full-tensor retile copy) and
+      the 16x block-diagonal zero FLOPs push the dot past the HBM bound:
+      7.35 ms vs 4.21 ms (in-place harness, same session)."""
     import jax.numpy as jnp
     backend = os.environ.get("OPV_CORR", "xla")
-    einsum = lambda s, k: jnp.einsum("cst,cto->cso", s, k)
+
+    def einsum(s, k):
+        # accumulate in (at least) f32 — bf16 operands are fine, bf16
+        # accumulation is not; the f64 parity path keeps f64 throughout
+        acc = jnp.promote_types(s.dtype, jnp.float32)
+        return jnp.einsum("cst,cto->cso", s, k.astype(s.dtype),
+                          preferred_element_type=acc)
+    if backend == "blockdiag":
+        # NO pad of the big operand (a pad materializes a full copy — the
+        # exact relayout this path exists to avoid): the g-multiple head
+        # goes through the grouped matmul as a free reshape view, the
+        # ragged tail (< 16 windows) through the plain einsum
+        g = 16
+        c, m, kw = sym_f.shape
+        no = kern_f.shape[-1]
+        mg = (m // g) * g
+        if mg == 0:
+            return einsum(sym_f, kern_f)
+        lhs = sym_f[:, :mg].reshape(c, mg // g, g * kw)
+        eye = jnp.eye(g, dtype=kern_f.dtype)
+        bd = jnp.einsum("gh,cto->cgtho", eye, kern_f) \
+            .reshape(c, g * kw, g * no)
+        out = jnp.einsum("csk,ckn->csn", lhs, bd).reshape(c, mg, no)
+        if mg == m:
+            return out
+        return jnp.concatenate([out, einsum(sym_f[:, mg:], kern_f)], axis=1)
     use_pallas = backend == "pallas_interpret" or (
         backend == "pallas" and _on_tpu())
     if not use_pallas:

@@ -128,11 +128,20 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
 
     `samples` is either (C, N) complex (re-interleaved here: one fused
     elementwise pass) or — the zero-copy production form — (C, N, 2)
-    float32 IQ pairs exactly as the wire format delivers them."""
+    float32 OR bfloat16 IQ pairs.  bf16 buffers are the TPU production
+    choice: XLA demotes f32 matmul operands to bf16 on this flag set
+    anyway (--xla_allow_excess_precision), so a bf16 buffer skips the
+    demotion's full-stream convert-copy AND halves the stage's HBM read;
+    int16-scale samples quantize at <=0.4% (FEC/sync margins are orders
+    above).  The kernel build and the A+phi*B combine stay float32 (f64 on
+    the complex128 parity path) — only the big streaming operand narrows."""
     c = samples.shape[0]
     interleaved = samples.ndim == 3
-    real_dt = samples.dtype if interleaved else (
-        jnp.float64 if samples.dtype == jnp.complex128 else jnp.float32)
+    # kernel-build / combine dtype; the interleaved big operand keeps its
+    # own (possibly bf16) dtype — registry.symbol_corr narrows the kernel
+    # to match and accumulates in f32
+    real_dt = (jnp.float64 if samples.dtype == jnp.complex128
+               else jnp.float32)
     cplx_dt = jnp.complex128 if real_dt == jnp.float64 else jnp.complex64
     freqs = jnp.stack([-CONFIG.freq_dev + freq_offset,
                        CONFIG.freq_dev + freq_offset], axis=-1)   # (C, 2)

@@ -27,12 +27,16 @@ never touch the host (bench.py does), and only decoded frames/scalars are
 fetched.  All channels advance in lockstep; each block is ONE jit-compiled
 device invocation.
 
-The buffer holds (C, window, 2) float32 IQ pairs — the wire format — so
-the steady body's real-valued correlation matmul reads it zero-copy
-(rx/locked.py _symbol_soft_batch); complex is materialized only on the
-rare re-acquire / retime paths, which need the dense complex correlators.
-Callers may feed (C, n) complex (converted on append, one fused pass over
-the chunk) or (C, n, 2) float32 directly (no conversion anywhere).
+The buffer holds (C, window, 2) IQ pairs — float32, or bfloat16 on TPU
+(the default there: XLA demotes the f32 correlation matmul to bf16 anyway,
+so a bf16 buffer skips a full-stream convert-copy per block and halves
+both buffer HBM and the steady matmul's read) — so the steady body's
+real-valued correlation matmul reads it zero-copy (rx/locked.py
+_symbol_soft_batch); complex is materialized only on the rare re-acquire /
+retime paths, which need the dense complex correlators.  Callers may feed
+(C, n) complex (converted on append, one fused pass over the chunk) or
+(C, n, 2) float32 / int16 pairs (cast on append — int16 is the radio wire
+format).
 """
 
 from __future__ import annotations
@@ -77,14 +81,28 @@ class LockedStreamDemodulator:
     REFRESH_METRIC_MIN = 400
     _EMA_ALPHA = 0.1
 
-    def __init__(self, channels: int, block_frames: int = 4):
+    def __init__(self, channels: int, block_frames: int = 4,
+                 dtype: str = "auto"):
+        """dtype: buffer element type for the (C, window, 2) IQ-pair
+        buffer — "float32", "bfloat16", or "auto" (bfloat16 on TPU, else
+        float32).  bf16 halves buffer HBM and the steady matmul's read;
+        XLA demotes the f32 matmul to bf16 on this TPU's flag set anyway
+        (--xla_allow_excess_precision), so the numerics are what the f32
+        buffer already produced — minus a full-stream convert-copy per
+        block (see rx/locked.py _symbol_soft_batch)."""
         import jax
         import jax.numpy as jnp
         from opv_tpu.rx.locked import (rx_locked_reacquire, rx_locked_retime,
                                        rx_locked_steady)
 
-        def _cplx(buf):                  # (C, n, 2) f32 -> (C, n) c64
-            return jax.lax.complex(buf[..., 0], buf[..., 1])
+        if dtype == "auto":
+            dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                     else "float32")
+        self.dtype = jnp.dtype(dtype)
+
+        def _cplx(buf):                  # (C, n, 2) pairs -> (C, n) c64
+            return jax.lax.complex(buf[..., 0].astype(jnp.float32),
+                                   buf[..., 1].astype(jnp.float32))
 
         self._retime = jax.jit(
             lambda b, p, f: rx_locked_retime(_cplx(b), p, f))
@@ -101,7 +119,7 @@ class LockedStreamDemodulator:
         self.window = (block_frames + 1) * spf + 1040
         self._jnp = jnp
 
-        self._buf = jnp.zeros((channels, self.window, 2), jnp.float32)
+        self._buf = jnp.zeros((channels, self.window, 2), self.dtype)
         self._count = 0                 # valid samples in buffer
         self._abs_base = 0              # absolute index of buffer sample 0
 
@@ -136,11 +154,12 @@ class LockedStreamDemodulator:
                                        n_frames=bf)
 
         def append(buf, count, x):
-            return jax.lax.dynamic_update_slice(buf, x, (0, count, 0))
+            return jax.lax.dynamic_update_slice(buf, x.astype(buf.dtype),
+                                                (0, count, 0))
 
         def append_c(buf, count, x):     # complex chunk -> IQ pairs, fused
-            xi = jnp.stack([x.real.astype(jnp.float32),
-                            x.imag.astype(jnp.float32)], axis=-1)
+            xi = jnp.stack([x.real.astype(buf.dtype),
+                            x.imag.astype(buf.dtype)], axis=-1)
             return jax.lax.dynamic_update_slice(buf, xi, (0, count, 0))
 
         def slide(buf):
@@ -158,15 +177,19 @@ class LockedStreamDemodulator:
     # ------------------------------------------------------------------ #
 
     def feed(self, samples):
-        """samples: (C, n) complex64 OR (C, n, 2) float32 IQ pairs (numpy
-        or jax array; the latter skips all format conversion).  Returns
-        decoded frame tuples for every full window completed by this feed."""
+        """samples: (C, n) complex64 OR (C, n, 2) IQ pairs (float32,
+        int16 wire format, or bfloat16; numpy or jax array — pairs are cast
+        to the buffer dtype on device during the append).  Returns decoded
+        frame tuples for every full window completed by this feed."""
         jnp = self._jnp
         if samples.shape[0] != self.channels:
             raise ValueError(f"expected {self.channels} channels")
         ilv = samples.ndim == 3
-        x = jnp.asarray(samples,
-                        jnp.float32 if ilv else jnp.complex64)
+        if ilv:
+            x = jnp.asarray(samples)     # f32 / int16 / bf16 pairs; the
+            # append converts to the buffer dtype on device
+        else:
+            x = jnp.asarray(samples, jnp.complex64)
         append = self._append if ilv else self._append_c
         out = []
         off = 0
@@ -376,7 +399,7 @@ class LockedStreamDemodulator:
         if buf.ndim == 2:
             buf = self._jnp.stack([buf.real.astype(self._jnp.float32),
                                    buf.imag.astype(self._jnp.float32)], -1)
-        self._buf = buf
+        self._buf = buf.astype(self.dtype)
         self._count = int(tree["count"])
         self._abs_base = int(tree["abs_base"])
         self.p0 = np.asarray(tree["p0"], np.int32)

@@ -194,3 +194,37 @@ class TestDriftRefresh:
         # emission over the drift-truncated tail — content undefined)
         # the grid moved at least twice (one refresh per ~20 frames)
         assert sd.refreshes >= 2
+
+
+class TestBufferDtype:
+    def test_bf16_buffer_and_int16_feed_decode_identically(self):
+        """The bf16 buffer (TPU production default: XLA demotes the f32
+        correlation matmul to bf16 anyway, so bf16 storage only removes a
+        convert pass) and the int16 wire-format feed must produce the
+        SAME frame bytes/positions as the float32 buffer, noise included
+        (int16-scale values quantize in bf16 at <=0.4% — orders below
+        FEC/sync margins)."""
+        s, frames = _signal(5)
+        rng = np.random.default_rng(7)
+        noisy = s + (40.0 * (rng.standard_normal(len(s))
+                             + 1j * rng.standard_normal(len(s)))
+                     ).astype(np.complex64)
+        sig = np.concatenate([np.zeros(777, np.complex64), noisy])[None, :]
+
+        def run(dtype, as_int16=False):
+            sd = LockedStreamDemodulator(1, dtype=dtype)
+            out = []
+            for i in range(0, sig.shape[1], 40_000):
+                chunk = sig[:, i:i + 40_000]
+                if as_int16:
+                    pairs = np.stack([chunk.real, chunk.imag], -1)
+                    chunk = np.clip(np.round(pairs), -32768, 32767) \
+                        .astype(np.int16)
+                out += sd.feed(chunk)
+            return out + sd.flush()
+
+        ref = run("float32")
+        assert len(ref) == 5
+        for variant in (run("bfloat16"), run("bfloat16", as_int16=True)):
+            assert [(t[0], t[1], t[4]) for t in variant] == \
+                   [(t[0], t[1], t[4]) for t in ref]
