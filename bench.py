@@ -108,11 +108,15 @@ def run(platform_override=None):
         out = rx_locked_steady(x, p0, foff, n_frames=frames_per_chan)
         return out["n_decoded"], (out["metrics"] == 0).sum()
 
-    # production wire form: (C, N, 2) float32 IQ pairs — saves the
-    # complex->real re-interleave pass (a full HBM round trip per block)
-    to_ilv = jax.jit(lambda s: jnp.stack(
-        [s.real.astype(jnp.float32), s.imag.astype(jnp.float32)], axis=-1))
-    samples_i = to_ilv(samples)
+    # production buffer form: (C, N/40, 80) window rows (the correlation
+    # matmul's own operand layout — zero relayout, see stream/locked.py),
+    # bf16 on TPU (halves the HBM read; XLA demotes the matmul to bf16
+    # under --xla_allow_excess_precision anyway)
+    buf_dt = jnp.float32 if platform == "cpu" else jnp.bfloat16
+    to_win = jax.jit(lambda s: jnp.stack(
+        [s.real.astype(buf_dt), s.imag.astype(buf_dt)], axis=-1)
+        .reshape(channels, -1, 2 * CONFIG.samples_per_symbol))
+    samples_i = to_win(samples)
     jax.block_until_ready(samples_i)
 
     t0 = time.time()

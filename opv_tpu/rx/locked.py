@@ -126,17 +126,26 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
     matmul whose kernel rows interleave (k_re, -k_im) for out_re and
     (k_im, k_re) for out_im.
 
-    `samples` is either (C, N) complex (re-interleaved here: one fused
-    elementwise pass) or — the zero-copy production form — (C, N, 2)
-    float32 OR bfloat16 IQ pairs.  bf16 buffers are the TPU production
-    choice: XLA demotes f32 matmul operands to bf16 on this flag set
-    anyway (--xla_allow_excess_precision), so a bf16 buffer skips the
-    demotion's full-stream convert-copy AND halves the stage's HBM read;
-    int16-scale samples quantize at <=0.4% (FEC/sync margins are orders
-    above).  The kernel build and the A+phi*B combine stay float32 (f64 on
-    the complex128 parity path) — only the big streaming operand narrows."""
+    `samples` is one of
+      * (C, N) complex — re-interleaved here, one fused elementwise pass;
+      * (C, N, 2) float32/bfloat16 IQ pairs — the wire format, reshaped
+        into windows (a relayout copy on TPU: the pair layout differs
+        from the matmul's preferred windows layout);
+      * (C, M, 80) float32/bfloat16 WINDOW ROWS (row s = samples
+        [40s, 40s+40) as 80 interleaved I/Q values) — the zero-copy
+        production form: the streaming buffer stores this shape directly
+        (stream/locked.py), so the matmul reads it with no relayout at
+        all.
+    bf16 buffers are the TPU production choice: XLA demotes f32 matmul
+    operands to bf16 on this flag set anyway
+    (--xla_allow_excess_precision), so a bf16 buffer skips the demotion's
+    full-stream convert-copy AND halves the stage's HBM read; int16-scale
+    samples quantize at <=0.4% (FEC/sync margins are orders above).  The
+    kernel build and the A+phi*B combine stay float32 (f64 on the
+    complex128 parity path) — only the big streaming operand narrows."""
     c = samples.shape[0]
-    interleaved = samples.ndim == 3
+    windowed = samples.ndim == 3 and samples.shape[-1] == 2 * _SPS
+    interleaved = samples.ndim == 3 and not windowed
     # kernel-build / combine dtype; the interleaved big operand keeps its
     # own (possibly bf16) dtype — registry.symbol_corr narrows the kernel
     # to match and accumulates in f32
@@ -152,7 +161,9 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
             >= r[:, None])[:, :, None]                            # t >= r
     kern = jnp.concatenate([jnp.where(tail, e, 0),
                             jnp.where(tail, 0, e)], axis=-1)      # (C, 40, 4)
-    if interleaved:
+    if windowed:
+        sym_f = samples[:, : nsym + 1, :]
+    elif interleaved:
         sym_f = samples[:, : (nsym + 1) * _SPS, :].reshape(
             c, nsym + 1, 2 * _SPS)
     else:
@@ -186,8 +197,9 @@ def rx_locked_steady(samples: jnp.ndarray, p0: jnp.ndarray,
     multiple of 86,720 samples keep p0 invariant, so no re-acquisition is
     needed — exactly like the reference's LOCKED state, which only re-checks
     sync (our per-frame sync_q) rather than re-hunting.  `samples` may be
-    (C, N) complex or (C, N, 2) float32 IQ pairs (the wire format) — the
-    latter saves a full re-interleave pass over HBM per block.  Lock loss shows up
+    (C, N) complex, (C, N, 2) float32/bf16 IQ pairs (the wire format), or
+    (C, M, 80) window rows (see _symbol_soft_batch — the zero-relayout
+    production form stream/locked.py feeds).  Lock loss shows up
     as sync_q collapsing; stream.locked.LockedStreamDemodulator watches the
     per-frame q and drives rx_locked_reacquire for the channels that lost it.
     """
@@ -321,7 +333,11 @@ def _extract_frames(soft: jnp.ndarray, k0: jnp.ndarray, n_frames: int):
 
 
 def _locked_body(samples, p0, freq_offset, n_frames: int):
-    c, n = samples.shape[0], samples.shape[1]
+    c = samples.shape[0]
+    if samples.ndim == 3 and samples.shape[-1] == 2 * _SPS:
+        n = samples.shape[1] * _SPS       # windowed (C, M, 80) rows
+    else:
+        n = samples.shape[1]
     # --- symbol-rate body at the shared timing phase r = p0 mod 40 ---
     r = p0 % _SPS
     k0 = (p0 - r) // _SPS                 # symbol index of the sync start

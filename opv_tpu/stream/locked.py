@@ -27,16 +27,21 @@ never touch the host (bench.py does), and only decoded frames/scalars are
 fetched.  All channels advance in lockstep; each block is ONE jit-compiled
 device invocation.
 
-The buffer holds (C, window, 2) IQ pairs — float32, or bfloat16 on TPU
+The buffer holds (C, window/40, 80) WINDOW ROWS — row s is samples
+[40s, 40s+40) as 80 interleaved I/Q floats, float32 or bfloat16 on TPU
 (the default there: XLA demotes the f32 correlation matmul to bf16 anyway,
 so a bf16 buffer skips a full-stream convert-copy per block and halves
-both buffer HBM and the steady matmul's read) — so the steady body's
-real-valued correlation matmul reads it zero-copy (rx/locked.py
-_symbol_soft_batch); complex is materialized only on the rare re-acquire /
-retime paths, which need the dense complex correlators.  Callers may feed
-(C, n) complex (converted on append, one fused pass over the chunk) or
-(C, n, 2) float32 / int16 pairs (cast on append — int16 is the radio wire
-format).
+both buffer HBM and the steady matmul's read).  This is the steady body's
+matmul operand shape DIRECTLY (rx/locked.py _symbol_soft_batch), so the
+hot path reads the buffer with zero relayout: a (C, N, 2) pairs buffer is
+byte-identical in row-major order but TPU tiles the last two dims, so its
+physical layout differs and XLA inserts a full-stream retile copy at the
+reshape.  Complex is materialized only on the rare re-acquire / retime
+paths, which need the dense complex correlators.  Callers may feed (C, n)
+complex (converted during append, one fused pass over the chunk) or
+(C, n, 2) float32 / int16 pairs (cast during append — int16 is the radio
+wire format); feeds of any length are accepted — a sub-row tail (< 40
+samples) pends until the next feed.
 """
 
 from __future__ import annotations
@@ -83,7 +88,7 @@ class LockedStreamDemodulator:
 
     def __init__(self, channels: int, block_frames: int = 4,
                  dtype: str = "auto"):
-        """dtype: buffer element type for the (C, window, 2) IQ-pair
+        """dtype: buffer element type for the (C, window/40, 80) window-row
         buffer — "float32", "bfloat16", or "auto" (bfloat16 on TPU, else
         float32).  bf16 halves buffer HBM and the steady matmul's read;
         XLA demotes the f32 matmul to bf16 on this TPU's flag set anyway
@@ -100,9 +105,9 @@ class LockedStreamDemodulator:
                      else "float32")
         self.dtype = jnp.dtype(dtype)
 
-        def _cplx(buf):                  # (C, n, 2) pairs -> (C, n) c64
-            return jax.lax.complex(buf[..., 0].astype(jnp.float32),
-                                   buf[..., 1].astype(jnp.float32))
+        def _cplx(buf):                  # (C, R, 80) rows -> (C, R*40) c64
+            f = buf.astype(jnp.float32).reshape(channels, -1, 2)
+            return jax.lax.complex(f[..., 0], f[..., 1])
 
         self._retime = jax.jit(
             lambda b, p, f: rx_locked_retime(_cplx(b), p, f))
@@ -117,10 +122,14 @@ class LockedStreamDemodulator:
         # hunt_grid's next-frame verification covers every sync position
         # owned by this block (p < advance needs norm at p + spf)
         self.window = (block_frames + 1) * spf + 1040
+        self.sps = CONFIG.samples_per_symbol     # row width in samples
+        assert self.window % self.sps == 0 and self.advance % self.sps == 0
         self._jnp = jnp
 
-        self._buf = jnp.zeros((channels, self.window, 2), self.dtype)
+        self._buf = jnp.zeros((channels, self.window // self.sps,
+                               2 * self.sps), self.dtype)
         self._count = 0                 # valid samples in buffer
+        self._pend = None               # (C, <40, 2) sub-row feed tail
         self._abs_base = 0              # absolute index of buffer sample 0
 
         # per-channel lock state (host side: tiny, drives which program runs)
@@ -153,18 +162,26 @@ class LockedStreamDemodulator:
             return rx_locked_reacquire(_cplx(buf), p0, foff, keep,
                                        n_frames=bf)
 
-        def append(buf, count, x):
-            return jax.lax.dynamic_update_slice(buf, x.astype(buf.dtype),
-                                                (0, count, 0))
+        sps = self.sps
 
-        def append_c(buf, count, x):     # complex chunk -> IQ pairs, fused
+        def append(buf, row, x):         # x: (C, t, 2) pairs, t % 40 == 0
+            rows = x.astype(buf.dtype).reshape(channels, -1, 2 * sps)
+            return jax.lax.dynamic_update_slice(buf, rows, (0, row, 0))
+
+        def append_c(buf, row, x):       # complex chunk -> rows, fused
             xi = jnp.stack([x.real.astype(buf.dtype),
                             x.imag.astype(buf.dtype)], axis=-1)
-            return jax.lax.dynamic_update_slice(buf, xi, (0, count, 0))
+            rows = xi.reshape(channels, -1, 2 * sps)
+            return jax.lax.dynamic_update_slice(buf, rows, (0, row, 0))
+
+        def pairs_c(x):                  # complex chunk -> (C, n, 2) pairs
+            return jnp.stack([x.real.astype(self.dtype),
+                              x.imag.astype(self.dtype)], axis=-1)
 
         def slide(buf):
-            kept = buf[:, self.advance:]
-            pad = jnp.zeros((channels, self.advance, 2), buf.dtype)
+            adv = self.advance // sps
+            kept = buf[:, adv:]
+            pad = jnp.zeros((channels, adv, 2 * sps), buf.dtype)
             return jnp.concatenate([kept, pad], axis=1)
 
         self._steady = jax.jit(steady)
@@ -172,6 +189,7 @@ class LockedStreamDemodulator:
         self._reacquire = jax.jit(reacquire)
         self._append = jax.jit(append, donate_argnums=(0,))
         self._append_c = jax.jit(append_c, donate_argnums=(0,))
+        self._pairs_c = jax.jit(pairs_c)
         self._slide = jax.jit(slide, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ #
@@ -179,33 +197,59 @@ class LockedStreamDemodulator:
     def feed(self, samples):
         """samples: (C, n) complex64 OR (C, n, 2) IQ pairs (float32,
         int16 wire format, or bfloat16; numpy or jax array — pairs are cast
-        to the buffer dtype on device during the append).  Returns decoded
-        frame tuples for every full window completed by this feed."""
+        to the buffer dtype on device during the append).  Any n is
+        accepted; appends are row-aligned (40 samples), so a sub-row tail
+        pends until the next feed/flush.  Returns decoded frame tuples for
+        every full window completed by this feed."""
         jnp = self._jnp
         if samples.shape[0] != self.channels:
             raise ValueError(f"expected {self.channels} channels")
         ilv = samples.ndim == 3
-        if ilv:
-            x = jnp.asarray(samples)     # f32 / int16 / bf16 pairs; the
-            # append converts to the buffer dtype on device
-        else:
-            x = jnp.asarray(samples, jnp.complex64)
+        x = jnp.asarray(samples) if ilv else jnp.asarray(samples,
+                                                         jnp.complex64)
+        if self._pend is not None:
+            # sub-row carry from the previous feed: unify in the pairs
+            # domain (rare — only non-40-aligned feeds reach here)
+            if not ilv:
+                x, ilv = self._pairs_c(x), True
+            elif x.dtype != self._pend.dtype:
+                x = x.astype(self._pend.dtype)
+            x = jnp.concatenate([self._pend, x], axis=1)
+            self._pend = None
         append = self._append if ilv else self._append_c
         out = []
         off = 0
         n = x.shape[1]
         while off < n:
-            take = min(self.window - self._count, n - off)
-            self._buf = append(self._buf, self._count, x[:, off:off + take])
-            self._count += take
-            off += take
+            room = self.window - self._count        # always row-aligned
+            take = min(room, n - off)
+            if take < room:
+                take -= take % self.sps             # sub-row tail pends
+            if take:
+                self._buf = append(self._buf, self._count // self.sps,
+                                   x[:, off:off + take])
+                self._count += take
+                off += take
             if self._count >= self.window:
                 out.extend(self._process())
+            elif take == 0:
+                break
+        if off < n:
+            tail = x[:, off:] if ilv else self._pairs_c(x[:, off:])
+            self._pend = tail.astype(self.dtype)
         return out
 
     def flush(self):
         """Process the buffered tail (zero-padded); frames whose payload
         would extend into the padding are rejected, not emitted corrupt."""
+        jnp = self._jnp
+        if self._pend is not None:       # zero-pad the sub-row carry in
+            p = self._pend.shape[1]
+            row = jnp.pad(self._pend.astype(self.dtype),
+                          ((0, 0), (0, self.sps - p), (0, 0)))
+            self._buf = self._append(self._buf, self._count // self.sps, row)
+            self._count += p
+            self._pend = None
         min_n = self.spf + CONFIG.samples_per_symbol
         if self._count < min_n:
             results = []
@@ -382,8 +426,17 @@ class LockedStreamDemodulator:
     # checkpoint/resume (stream/state.py)
 
     def state_tree(self):
+        # pend is stored zero-padded to one full row + its true length so
+        # the pytree structure (leaf shapes) is feed-history independent
+        pend = self._jnp.zeros((self.channels, self.sps, 2), self.dtype)
+        pend_len = 0
+        if self._pend is not None:
+            pend_len = self._pend.shape[1]
+            pend = self._jnp.pad(self._pend.astype(self.dtype),
+                                 ((0, 0), (0, self.sps - pend_len), (0, 0)))
         return dict(
             buf=self._buf, count=np.int64(self._count),
+            pend=pend, pend_len=np.int64(pend_len),
             abs_base=np.int64(self._abs_base),
             p0=self.p0, freq_offset=self.freq_offset,
             locked=self.locked, miss=self.miss, refresh=self.refresh,
@@ -393,14 +446,32 @@ class LockedStreamDemodulator:
 
     def load_state_tree(self, tree) -> None:
         """Adopt a state produced by state_tree() (e.g. via load_state).
-        Accepts both buffer layouts: (C, window, 2) float32 IQ pairs
-        (current) and (C, window) complex64 (pre-wire-form checkpoints)."""
-        buf = self._jnp.asarray(tree["buf"])
+        Accepts all three buffer layouts: (C, window/40, 80) window rows
+        (current), (C, window, 2) IQ pairs, and (C, window) complex64
+        (pre-wire-form checkpoints)."""
+        jnp = self._jnp
+        buf = jnp.asarray(tree["buf"])
         if buf.ndim == 2:
-            buf = self._jnp.stack([buf.real.astype(self._jnp.float32),
-                                   buf.imag.astype(self._jnp.float32)], -1)
+            buf = jnp.stack([buf.real.astype(jnp.float32),
+                             buf.imag.astype(jnp.float32)], -1)
+        if buf.shape[-1] == 2:           # pairs -> window rows
+            buf = buf.reshape(self.channels, -1, 2 * self.sps)
         self._buf = buf.astype(self.dtype)
-        self._count = int(tree["count"])
+        count = int(tree["count"])
+        self._pend = None
+        rem = count % self.sps
+        if rem:
+            # pre-windowed checkpoints could hold a sub-row count; move the
+            # partial row's samples to the pend carry (the next append
+            # rewrites that row with pend + new data — identical values)
+            pairs = self._buf.reshape(self.channels, -1, 2)
+            self._pend = pairs[:, count - rem:count]
+            count -= rem
+        self._count = count
+        if "pend" in tree and int(tree.get("pend_len", 0)):
+            p = int(tree["pend_len"])
+            assert self._pend is None    # aligned count when pend was saved
+            self._pend = jnp.asarray(tree["pend"])[:, :p].astype(self.dtype)
         self._abs_base = int(tree["abs_base"])
         self.p0 = np.asarray(tree["p0"], np.int32)
         self.freq_offset = np.asarray(tree["freq_offset"], np.float32)

@@ -113,6 +113,14 @@ def main() -> int:
     samples_i = jax.jit(lambda s: jnp.stack(
         [s.real.astype(jnp.float32), s.imag.astype(jnp.float32)], -1))(samples)
     jax.block_until_ready(samples_i)
+    # production BUFFER form: (C, N/40, 80) window rows, bf16 on TPU — the
+    # correlation matmul's own operand layout (zero relayout, see
+    # stream/locked.py); n is 40-aligned by construction (frames + pad)
+    buf_dt = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    samples_w = jax.jit(lambda s: jnp.stack(
+        [s.real.astype(buf_dt), s.imag.astype(buf_dt)], -1)
+        .reshape(C, -1, 2 * sps))(samples)
+    jax.block_until_ready(samples_w)
 
     acq = rx_locked(samples, n_frames=F, estimate_cfo_flag=True)
     p0, foff = acq["p0"], acq["freq_offset"]
@@ -228,6 +236,9 @@ def main() -> int:
     per = amortized(lambda s: _symbol_soft_batch(s, r, foff, nsym).sum(),
                     samples_i, "soft_ilv")
     res["stages_ms"]["soft_ilv_amortized"] = per * 1e3
+    per = amortized(lambda s: _symbol_soft_batch(s, r, foff, nsym).sum(),
+                    samples_w, "soft_win")
+    res["stages_ms"]["soft_win_amortized"] = per * 1e3
 
     def _ext_digest(sf):
         pl, q, raw = _extract_frames(sf, k0, F)
@@ -276,6 +287,12 @@ def main() -> int:
         log(f"steady[{be}] amortized (wire-form input): {per*1e3:.2f} "
             f"ms/block -> {res[f'steady_{be}_amortized_msps']:.0f} MS/s "
             f"(dispatch RTT excluded)")
+        per = amortized(_steady_digest, samples_w, f"steady_win_{be}")
+        res[f"steady_win_{be}_amortized_ms"] = per * 1e3
+        res[f"steady_win_{be}_amortized_msps"] = n_total / per / 1e6
+        log(f"steady[{be}] amortized (windowed {buf_dt.__name__} buffer): "
+            f"{per*1e3:.2f} ms/block -> "
+            f"{res[f'steady_win_{be}_amortized_msps']:.0f} MS/s")
     registry.set_backend("xla")
 
     # --- roofline accounting (v5e: ~819 GB/s HBM, ~197 bf16 TFLOP/s) ---
