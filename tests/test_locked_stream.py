@@ -153,6 +153,80 @@ class TestLockedStream:
         assert out_a + out_b == ref
         assert sd2.decoded == 20
 
+    def test_sub_row_feeds_accumulate_via_pend(self):
+        """Feeds smaller than one 40-sample window row must pend and then
+        decode identically to a single feed (the windowed buffer only
+        appends whole rows; the tail carries host-side)."""
+        s, frames = _signal(3)
+        x = s[None, :]
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        out = []
+        off = 0
+        k = 0
+        sizes = [7, 13, 39, 1, 23, 41]   # mostly sub-row, one 41
+        while off < x.shape[1]:
+            take = min(sizes[k % len(sizes)] * (1 if k < 12 else 4099),
+                       x.shape[1] - off)
+            out.extend(sd.feed(x[:, off:off + take]))
+            off += take
+            k += 1
+        out.extend(sd.flush())
+        ref = _run(LockedStreamDemodulator(1, block_frames=4), x)
+        assert out == ref
+        assert [r[1] for r in ref] == [bytes(f) for f in frames]
+
+    def test_checkpoint_resume_mid_pend(self, tmp_path):
+        """Checkpoint taken while a sub-row tail is pending must restore
+        exactly (pend is a shape-stable padded leaf in the state tree)."""
+        s, frames = _signal(8)
+        x = np.stack([s, s])
+        cut = 5 * SPF + 1013                      # 1013 % 40 != 0 -> pend
+        sd = LockedStreamDemodulator(2, block_frames=4)
+        out_a = sd.feed(x[:, :cut])
+        tree = sd.state_tree()
+        assert int(tree["pend_len"]) == (cut % 40)
+        save_state(str(tmp_path / "ck"), tree)
+
+        sd2 = LockedStreamDemodulator(2, block_frames=4)
+        sd2.load_state_tree(load_state(str(tmp_path / "ck"), tree))
+        out_b = sd2.feed(x[:, cut:])
+        out_b.extend(sd2.flush())
+        assert out_a + out_b == _run(
+            LockedStreamDemodulator(2, block_frames=4), x)
+
+    def test_legacy_checkpoint_layouts_adopt(self):
+        """Pre-windowed checkpoints — (C, window, 2) pairs and (C, window)
+        complex buffers, including a sub-row count — must load and continue
+        bit-identically (rolling-upgrade path for saved streams)."""
+        s, frames = _signal(8)
+        x = s[None, :]
+        cut = 4 * SPF + 977                       # sub-row count in ckpt
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        out_a = sd.feed(x[:, :cut])
+        tree = {k: np.asarray(v) for k, v in sd.state_tree().items()}
+        ref = _run(LockedStreamDemodulator(1, block_frames=4), x)
+
+        rows = tree["buf"].astype(np.float32)
+        pairs = rows.reshape(1, -1, 2)
+        legacy_count = int(tree["count"]) + int(tree["pend_len"])
+        if int(tree["pend_len"]):                 # fold pend into the buffer
+            pend = np.asarray(tree["pend"]).astype(np.float32)
+            pairs = pairs.copy()
+            pairs[:, int(tree["count"]):legacy_count] = \
+                pend[:, : int(tree["pend_len"])]
+        base = {k: v for k, v in tree.items()
+                if k not in ("buf", "count", "pend", "pend_len")}
+        legacy_pairs = dict(base, buf=pairs, count=np.int64(legacy_count))
+        legacy_cplx = dict(base, count=np.int64(legacy_count),
+                           buf=(pairs[..., 0] + 1j * pairs[..., 1])
+                           .astype(np.complex64))
+        for tr in (legacy_pairs, legacy_cplx):
+            sd2 = LockedStreamDemodulator(1, block_frames=4)
+            sd2.load_state_tree(tr)
+            out_b = sd2.feed(x[:, cut:])
+            out_b.extend(sd2.flush())
+            assert out_a + out_b == ref
+
     def test_flush_rejects_partial_tail_frame(self):
         """A stream truncated mid-frame must not emit a corrupt frame."""
         s, frames = _signal(6)
