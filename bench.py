@@ -162,15 +162,23 @@ def run(platform_override=None):
     # amortized away — K blocks inside ONE dispatch, differencing two K
     # values so the RTT cancels.  This is what a production stream sees:
     # enqueued blocks pipeline, so device time per block (not host RTT)
-    # sets throughput.  An optimization_barrier ties the loop-invariant
-    # samples to the loop-varying digest so XLA can neither hoist the
-    # body nor dead-code-eliminate the decoder.
+    # sets throughput.  Hardened harness (PERF.md): the digest is folded
+    # back into one element of the input each iteration via an in-place
+    # dynamic_update_slice — provably +0 in value (digest > 1e30 never),
+    # unprovable to XLA — creating a serial digest->input->digest chain
+    # that defeats LICM/loop-induction rewrites (optimization_barrier
+    # chains collapse; see PERF.md "Measurement-harness hardening").
     from opv_tpu.rx.locked import _locked_body
 
     def steady_k(x, k):
+        nd = x.ndim
+        idx = (jnp.int32(0),) * nd
+
         def body(_i, carry):
             digest, xx = carry
-            xx, digest = jax.lax.optimization_barrier((xx, digest))
+            eps = jnp.where(digest > 1e30, 1.0, 0.0).astype(xx.dtype)
+            cell = jax.lax.dynamic_slice(xx, idx, (1,) * nd)
+            xx = jax.lax.dynamic_update_slice(xx, cell + eps, idx)
             o = _locked_body(xx, p0, foff, frames_per_chan)
             d = (o["n_decoded"].astype(jnp.float32)
                  + o["metrics"].sum().astype(jnp.float32)
@@ -181,18 +189,16 @@ def run(platform_override=None):
     ks, ts, d_per_k = (4, 12), [], None
     for k in ks:
         f = jax.jit(lambda x, kk=k: steady_k(x, kk))
-        d = f(samples_i)
-        jax.block_until_ready(d)
+        float(f(samples_i))              # warm; fetch = only reliable wait
         best = None
         for _ in range(3):
             t0 = time.time()
-            d = f(samples_i)
-            jax.block_until_ready(d)
+            d = float(f(samples_i))      # fetch INSIDE the timed region
             best = min(best or 9e9, time.time() - t0)
         if d_per_k is None:
-            d_per_k = float(d) / k
+            d_per_k = d / k
         else:
-            assert abs(float(d) / k - d_per_k) <= 1e-6 * abs(d_per_k)
+            assert abs(d / k - d_per_k) <= 1e-6 * abs(d_per_k)
         ts.append(best)
         log(f"steady_loop[k={k}]: {best*1e3:.1f} ms")
     dt = (ts[1] - ts[0]) / (ks[1] - ks[0])

@@ -36,6 +36,28 @@ class TestSymbolSigns:
         assert np.all(np.abs(d1[1:]) == (1 - b[1:]))
         assert np.all(np.abs(d2[1:]) == b[1:])
 
+    @pytest.mark.parametrize("t0,bn0", [(0, 1), (1, 0), (-1, 1), (1, 1)])
+    def test_closed_form_matches_recurrence(self, t0, bn0):
+        """symbol_signs is a cumsum closed form; pin it step-for-step
+        against the reference recurrence (src/opv-mod.cpp:241-258) from
+        every reachable carry state, including mid-stream resumes."""
+        rng = np.random.default_rng(3)
+        for n in (1, 2, 7, 500):
+            bits = rng.integers(0, 2, n)
+            t, bn = t0, bn0
+            r1, r2 = [], []
+            for b in bits:                      # the original recurrence
+                d_neg_enc = -b if bn == 0 else b
+                r1.append((1 - b) * t)
+                r2.append(d_neg_enc * t)
+                t = 1 if t == 0 else (1 - 2 * b) * t
+                bn = 1 - bn
+            d1, d2, t_f, bn_f = symbol_signs(
+                jnp.asarray(bits), jnp.int32(t0), jnp.int32(bn0))
+            assert np.asarray(d1).tolist() == r1, (t0, bn0, n)
+            assert np.asarray(d2).tolist() == r2, (t0, bn0, n)
+            assert (int(t_f), int(bn_f)) == (t, bn), (t0, bn0, n)
+
 
 def _bert3_iq(exact):
     frames = build_bert_frame("W5NYV", CONFIG.default_token, np.arange(3))

@@ -207,14 +207,30 @@ def main() -> int:
     # (measured via a (8,128) add), so every isolated number above is
     # RTT-dominated.  TRUE device time comes from running K iterations
     # inside ONE dispatch and differencing two K values (RTT cancels).
-    # An optimization_barrier ties the loop-invariant input to the
-    # loop-varying digest so XLA can neither hoist the body (LICM) nor
-    # dead-code-eliminate any stage that feeds the digest. ---
+    #
+    # Hardened harness (see PERF.md "Measurement-harness hardening"): an
+    # optimization_barrier alone is NOT enough — chained barriers collapse
+    # and LICM hoists a pure loop body (a stage then "times" faster than
+    # its own HBM read).  Instead the scalar digest is folded back into ONE
+    # element of the big input each iteration via dynamic_update_slice:
+    # the folded value is provably +0 to us (digest > 1e30 never happens)
+    # but unprovable to XLA, so xx is genuinely loop-variant — a true
+    # serial data chain digest->xx->digest that nothing can hoist or DCE.
+    # The DUS is an in-place loop-carry update (no copy); measured overhead
+    # ~0.2 ms/iter on a 890 MB operand.  Digests must also be NONLINEAR in
+    # the input (abs before the reduction) so XLA cannot commute the
+    # reduction through a linear stage and contract the small operand first.
     def amortized(step, x, label, ks=(10, 50)):
+        nd = x.ndim
+        idx = (jnp.int32(0),) * nd
+
         def body(_i, carry):
             digest, xx = carry
-            xx, digest = jax.lax.optimization_barrier((xx, digest))
+            eps = jnp.where(digest > 1e30, 1.0, 0.0).astype(xx.dtype)
+            cell = jax.lax.dynamic_slice(xx, idx, (1,) * nd)
+            xx = jax.lax.dynamic_update_slice(xx, cell + eps, idx)
             return (digest + step(xx).astype(jnp.float32), xx)
+
         ts, d0 = [], None
         for k in ks:
             f = jax.jit(functools.partial(
@@ -230,19 +246,19 @@ def main() -> int:
         log(f"{label} amortized: {per*1e3:.3f} ms")
         return per
 
-    per = amortized(lambda s: _symbol_soft_batch(s, r, foff, nsym).sum(),
-                    samples, "soft")
+    def _soft_digest(s):      # abs: nonlinear between input and reduction
+        return jnp.abs(_symbol_soft_batch(s, r, foff, nsym)).sum()
+
+    per = amortized(_soft_digest, samples, "soft")
     res["stages_ms"]["soft_amortized"] = per * 1e3
-    per = amortized(lambda s: _symbol_soft_batch(s, r, foff, nsym).sum(),
-                    samples_i, "soft_ilv")
+    per = amortized(_soft_digest, samples_i, "soft_ilv")
     res["stages_ms"]["soft_ilv_amortized"] = per * 1e3
-    per = amortized(lambda s: _symbol_soft_batch(s, r, foff, nsym).sum(),
-                    samples_w, "soft_win")
+    per = amortized(_soft_digest, samples_w, "soft_win")
     res["stages_ms"]["soft_win_amortized"] = per * 1e3
 
     def _ext_digest(sf):
         pl, q, raw = _extract_frames(sf, k0, F)
-        return pl.sum() + q.sum() + raw.sum()
+        return jnp.abs(pl).sum() + jnp.abs(q).sum() + jnp.abs(raw).sum()
     per = amortized(_ext_digest, soft, "extract")
     res["stages_ms"]["extract_amortized"] = per * 1e3
 
@@ -264,8 +280,7 @@ def main() -> int:
         if os.environ.get("OPV_CORR", "xla") != "xla":
             # correlator experiment (OPV_CORR=pallas): time the soft stage
             # under the alternate kernel
-            per = amortized(lambda s: _symbol_soft_batch(s, r, foff, nsym).sum(),
-                            samples_i, f"soft_ilv_{be}")
+            per = amortized(_soft_digest, samples_i, f"soft_ilv_{be}")
             res["stages_ms"][f"soft_ilv_{be}_amortized"] = per * 1e3
 
         def _vit_digest(d):
