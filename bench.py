@@ -211,17 +211,21 @@ def run(platform_override=None):
 
     try:
         bf = 4 if frames_per_chan % 4 == 0 and frames_per_chan > 5 else 1
-        smsps, sdec, sblocks = _run_streaming(jnp, samples, channels,
-                                              frames_per_chan, bf=bf)
-        log(f"streaming driver (LockedStreamDemodulator, incl. host "
-            f"lifecycle + frame fetch): {smsps:.1f} Msamples/s over "
-            f"{sblocks} blocks, {sdec} frames emitted")
+        for pipe in (False, True):
+            smsps, sdec, sblocks = _run_streaming(
+                jnp, samples, channels, frames_per_chan, bf=bf,
+                pipeline=pipe)
+            mode = "pipelined" if pipe else "synchronous"
+            log(f"streaming driver ({mode} LockedStreamDemodulator, incl. "
+                f"host lifecycle + frame fetch): {smsps:.1f} Msamples/s "
+                f"over {sblocks} blocks, {sdec} frames emitted")
     except Exception as e:          # diagnostics only; never sink the bench
         log(f"streaming measurement skipped: {e!r}")
     return msps, platform
 
 
-def _run_streaming(jnp, samples, channels, frames_per_chan, bf=4, blocks=15):
+def _run_streaming(jnp, samples, channels, frames_per_chan, bf=4, blocks=15,
+                   pipeline=False):
     """Production streaming throughput: the LockedStreamDemodulator driver
     over a continuous frame-periodic stream — includes the per-block host
     lifecycle (lock bookkeeping + decoded-frame fetch), unlike the one-shot
@@ -233,7 +237,8 @@ def _run_streaming(jnp, samples, channels, frames_per_chan, bf=4, blocks=15):
 
     x = samples[:, : frames_per_chan * 86_720]       # drop the zero tail
     n = x.shape[1]
-    sd = LockedStreamDemodulator(channels=channels, block_frames=bf)
+    sd = LockedStreamDemodulator(channels=channels, block_frames=bf,
+                                 pipeline=pipeline)
     adv, win = sd.advance, sd.window
     if n % adv or n <= win:
         raise ValueError("geometry not cyclic-compatible")
@@ -249,6 +254,8 @@ def _run_streaming(jnp, samples, channels, frames_per_chan, bf=4, blocks=15):
     for _ in range(blocks):
         sd.feed(x2[:, pos % n: pos % n + adv])
         pos += adv
+    if pipeline:
+        sd._resolve_pending()           # count the in-flight block's work
     dt = time.time() - t0
     return (blocks * channels * adv) / dt / 1e6, sd.decoded - dec0, blocks
 

@@ -27,6 +27,17 @@ never touch the host (bench.py does), and only decoded frames/scalars are
 fetched.  All channels advance in lockstep; each block is ONE jit-compiled
 device invocation.
 
+pipeline=True additionally overlaps the host lifecycle with device
+compute: block N's program launches BEFORE block N-1's results are
+fetched (p0/freq_offset chain device-to-device), and a misprediction of
+the host-side lock/refresh state relaunches block N on its retained
+window — emitted tuples are bit-identical to the synchronous driver's
+(pinned by test_locked_stream.TestPipelined); only rare lock-transition
+blocks pay duplicate device work.  The reference has no analog (its demod
+is synchronous per chunk, src/opv-demod.cpp:1022-1085); this is the TPU
+framework's answer to keeping an accelerator busy from a host-side
+state machine.
+
 The buffer holds (C, window/40, 80) WINDOW ROWS — row s is samples
 [40s, 40s+40) as 80 interleaved I/Q floats, float32 or bfloat16 on TPU
 (the default there: XLA demotes the f32 correlation matmul to bf16 anyway,
@@ -87,14 +98,30 @@ class LockedStreamDemodulator:
     _EMA_ALPHA = 0.1
 
     def __init__(self, channels: int, block_frames: int = 4,
-                 dtype: str = "auto"):
+                 dtype: str = "auto", pipeline: bool = False):
         """dtype: buffer element type for the (C, window/40, 80) window-row
         buffer — "float32", "bfloat16", or "auto" (bfloat16 on TPU, else
         float32).  bf16 halves buffer HBM and the steady matmul's read;
         XLA demotes the f32 matmul to bf16 on this TPU's flag set anyway
         (--xla_allow_excess_precision), so the numerics are what the f32
         buffer already produced — minus a full-stream convert-copy per
-        block (see rx/locked.py _symbol_soft_batch)."""
+        block (see rx/locked.py _symbol_soft_batch).
+
+        pipeline: defer each block's host-side sync lifecycle by one block.
+        Block N's program is launched BEFORE block N-1's results are
+        fetched — p0/freq_offset chain device-to-device from N-1's
+        (unfetched) outputs, and the program choice (steady vs re-acquire)
+        is predicted from the last RESOLVED lock state.  The result fetch
+        then overlaps block N's device compute, so the device never idles
+        on the host lifecycle or the fetch link.  If resolving N-1 proves
+        the prediction wrong (a lock changed, or a timing refresh is due),
+        block N is relaunched on its retained window with the corrected
+        state — output is therefore IDENTICAL to the synchronous driver,
+        tuple for tuple (test_locked_stream pins this); mispredictions only
+        cost duplicate device work on the rare lock-transition blocks.
+        Checkpointing requires a quiesced stream: state_tree() raises while
+        a block is in flight (flush() first, or checkpoint at flush
+        boundaries)."""
         import jax
         import jax.numpy as jnp
         from opv_tpu.rx.locked import (rx_locked_reacquire, rx_locked_retime,
@@ -125,6 +152,7 @@ class LockedStreamDemodulator:
         self.sps = CONFIG.samples_per_symbol     # row width in samples
         assert self.window % self.sps == 0 and self.advance % self.sps == 0
         self._jnp = jnp
+        self._jax = jax
 
         self._buf = jnp.zeros((channels, self.window // self.sps,
                                2 * self.sps), self.dtype)
@@ -191,6 +219,12 @@ class LockedStreamDemodulator:
         self._append_c = jax.jit(append_c, donate_argnums=(0,))
         self._pairs_c = jax.jit(pairs_c)
         self._slide = jax.jit(slide, donate_argnums=(0,))
+        # pipelined mode keeps the in-flight block's window alive for a
+        # possible relaunch, so its slide cannot donate the input
+        self._slide_copy = jax.jit(slide)
+
+        self.pipeline = bool(pipeline)
+        self._pending = None            # in-flight block (pipeline mode)
 
     # ------------------------------------------------------------------ #
 
@@ -241,8 +275,11 @@ class LockedStreamDemodulator:
 
     def flush(self):
         """Process the buffered tail (zero-padded); frames whose payload
-        would extend into the padding are rejected, not emitted corrupt."""
+        would extend into the padding are rejected, not emitted corrupt.
+        Pipeline mode first drains the in-flight block (its results precede
+        the tail's)."""
         jnp = self._jnp
+        drained = self._resolve_pending() if self.pipeline else []
         if self._pend is not None:       # zero-pad the sub-row carry in
             p = self._pend.shape[1]
             row = jnp.pad(self._pend.astype(self.dtype),
@@ -258,11 +295,24 @@ class LockedStreamDemodulator:
         self._abs_base += self._count
         self._count = 0
         self._buf = self._jnp.zeros_like(self._buf)
-        return results
+        return drained + results
 
     # ------------------------------------------------------------------ #
 
     def _process(self, valid_limit: int | None = None):
+        if self.pipeline and valid_limit is None:
+            return self._process_pipelined()
+        out, wrap, p0w, tag = self._run_block(self._buf)
+        results = self._resolve_block(out, self._buf, valid_limit, wrap,
+                                      p0w, tag, self._abs_base)
+        if valid_limit is None:
+            self._advance_window()
+        return results
+
+    def _run_block(self, buf):
+        """Retime (if flagged) and launch this window's program with the
+        CURRENT host state.  Returns (out_dev, wrap, p0_wrapped, tag);
+        mutates p0/refresh bookkeeping, not the lock lifecycle."""
         jnp = self._jnp
         # timing refresh: micro-adjust p0 for flagged locked channels from
         # the dense sync correlation around the next expected sync.  Lock
@@ -272,7 +322,7 @@ class LockedStreamDemodulator:
         p0_wrapped = self.p0
         retune = self.refresh & self.locked
         if retune.any():
-            delta = np.asarray(self._retime(self._buf, jnp.asarray(self.p0),
+            delta = np.asarray(self._retime(buf, jnp.asarray(self.p0),
                                             jnp.asarray(self.freq_offset)))
             delta = np.where(retune, delta, 0).astype(np.int32)
             p0n = self.p0 + delta
@@ -291,22 +341,31 @@ class LockedStreamDemodulator:
             self.refreshes += int(moved.sum())
             self.metric_ema[moved] = np.nan  # fresh grid -> fresh baseline
         self.refresh[:] = False
-        self._want_refresh[:] = False
 
         if self.locked.all():
             run = self._steady_x if wrap.any() else self._steady
-            out = run(self._buf, jnp.asarray(self.p0),
+            out = run(buf, jnp.asarray(self.p0),
                       jnp.asarray(self.freq_offset))
+            tag = "steady"
         else:
             # mixed lock states never use the extra-slot program; a wrap
             # coinciding with another channel's re-acquisition forfeits the
             # straddler (rare corner; the grid still corrects)
-            self.reacquisitions += 1
-            out = self._reacquire(self._buf, jnp.asarray(self.p0),
+            out = self._reacquire(buf, jnp.asarray(self.p0),
                                   jnp.asarray(self.freq_offset),
                                   jnp.asarray(self.locked))
+            tag = "reacquire"
+        return out, wrap, p0_wrapped, tag
+
+    def _resolve_block(self, out, buf, valid_limit, wrap, p0_wrapped, tag,
+                       base):
+        """Fetch one block's results and run the host sync lifecycle."""
+        jnp = self._jnp
+        if tag == "reacquire":
+            self.reacquisitions += 1
+        self._want_refresh[:] = False
         prev_locked = self.locked.copy()
-        results = self._emit(out, valid_limit, own_extra=wrap)
+        results = self._emit(out, valid_limit, own_extra=wrap, base=base)
         self.p0 = np.where(wrap, p0_wrapped, self.p0).astype(np.int32)
 
         # A channel that dropped lock during this block (miss limit exceeded)
@@ -318,15 +377,98 @@ class LockedStreamDemodulator:
         dropped = prev_locked & ~self.locked
         if dropped.any():
             self.reacquisitions += 1
-            out2 = self._reacquire(self._buf, jnp.asarray(self.p0),
+            out2 = self._reacquire(buf, jnp.asarray(self.p0),
                                    jnp.asarray(self.freq_offset),
                                    jnp.asarray(~dropped))
             results.extend(self._emit(out2, valid_limit, only=dropped,
-                                      min_pos=self._dropped_at))
-        return self._finish_block(results, valid_limit)
+                                      min_pos=self._dropped_at, base=base))
+        self.refresh = self._want_refresh & self.locked
+        return results
+
+    def _advance_window(self, keep_buf: bool = False):
+        slide = self._slide_copy if keep_buf else self._slide
+        self._buf = slide(self._buf)
+        self._count -= self.advance
+        self._abs_base += self.advance
+        # grid positions repeat every frame, so after advancing by an
+        # exact frame multiple the equivalent sync position in the new
+        # window is p0 mod 86,720 (valid while the transmission is
+        # continuous — exactly the locked-mode assumption; a gap breaks
+        # sync_q and triggers re-acquisition anyway)
+        self.p0 = self.p0 % self.spf
+
+    def _process_pipelined(self):
+        """One full window in pipeline mode: launch this block with the
+        last-resolved state (predicted), then resolve the PREVIOUS block —
+        its fetch overlaps this block's device compute.  A misprediction
+        (lock change or pending timing refresh) relaunches this block on
+        its retained window with the corrected state, so emitted tuples
+        are identical to the synchronous driver's."""
+        jnp = self._jnp
+        if self._pending is None:
+            # first window: host state is exact, launch directly
+            out, wrap, p0w, tag = self._run_block(self._buf)
+            self._pending = dict(out=out, buf=self._buf, wrap=wrap, p0w=p0w,
+                                 tag=tag, base=self._abs_base,
+                                 pred_locked=self.locked.copy())
+            self._advance_window(keep_buf=True)
+            return []
+
+        prev = self._pending
+        pred_locked = self.locked.copy()
+        retune_pred = self.refresh & self.locked
+        launched = None
+        if not retune_pred.any():
+            # optimistic launch: p0/freq_offset chain device-to-device from
+            # the unfetched previous outputs (wrap blocks override the
+            # wrapped channels' grid with the host-computed p0_wrapped)
+            p0_dev = prev["out"]["p0"]
+            if prev["wrap"].any():
+                p0_dev = jnp.where(jnp.asarray(prev["wrap"]),
+                                   jnp.asarray(prev["p0w"]), p0_dev)
+            p0_dev = p0_dev % self.spf
+            foff_dev = prev["out"]["freq_offset"]
+            if pred_locked.all():
+                o = self._steady(self._buf, p0_dev, foff_dev)
+                launched = (o, np.zeros(self.channels, bool), self.p0,
+                            "steady")
+            else:
+                o = self._reacquire(self._buf, p0_dev, foff_dev,
+                                    jnp.asarray(pred_locked))
+                launched = (o, np.zeros(self.channels, bool), self.p0,
+                            "reacquire")
+        # resolve the previous block (fetch overlaps the launched compute)
+        results = self._resolve_block(prev["out"], prev["buf"], None,
+                                      prev["wrap"], prev["p0w"], prev["tag"],
+                                      prev["base"])
+        self.p0 = self.p0 % self.spf     # previous->current window coords
+        retune_actual = self.refresh & self.locked
+        if (launched is None or retune_actual.any()
+                or not np.array_equal(self.locked, pred_locked)):
+            # prediction invalid: relaunch this window with exact state
+            launched = self._run_block(self._buf)
+        out, wrap, p0w, tag = launched
+        self._pending = dict(out=out, buf=self._buf, wrap=wrap, p0w=p0w,
+                             tag=tag, base=self._abs_base,
+                             pred_locked=pred_locked)
+        self._advance_window(keep_buf=True)
+        return results
+
+    def _resolve_pending(self):
+        """Drain the in-flight block (pipeline mode): resolve it and return
+        its tuples.  Afterwards the host state matches the synchronous
+        driver's exactly."""
+        if self._pending is None:
+            return []
+        prev, self._pending = self._pending, None
+        results = self._resolve_block(prev["out"], prev["buf"], None,
+                                      prev["wrap"], prev["p0w"], prev["tag"],
+                                      prev["base"])
+        self.p0 = self.p0 % self.spf
+        return results
 
     def _emit(self, out, valid_limit, only=None, min_pos=None,
-              own_extra=None):
+              own_extra=None, base=None):
         """Run the host-side sync lifecycle over one block result.
 
         only: bool (C,) — process just these channels (re-hunt second pass).
@@ -335,14 +477,25 @@ class LockedStreamDemodulator:
         emitted or belongs to the dead burst, matching the reference which
         hunts forward from the drop sample only).
         own_extra: bool (C,) — extend this channel's block ownership by one
-        frame (drift-wrap straddler, see _process)."""
-        q = np.asarray(out["sync_q"])
-        raw = np.asarray(out["sync_raw"])
-        ok = np.asarray(out["decode_ok"])
-        metrics = np.asarray(out["metrics"])
-        frames = np.asarray(out["frames"])
-        p0 = np.asarray(out["p0"])
-        foff = np.asarray(out["freq_offset"])
+        frame (drift-wrap straddler, see _process).
+        base: absolute stream index of this block's window start (defaults
+        to the live buffer's; pipeline mode resolves a block after the
+        window has already advanced, so it passes the block's own base)."""
+        if base is None:
+            base = self._abs_base
+        # ONE batched fetch for the whole result pytree: device_get issues
+        # copy_to_host_async on every leaf before gathering, so the seven
+        # arrays cross the link concurrently instead of as seven serial
+        # round trips (the axon tunnel's RTT makes serial fetches the
+        # streaming driver's dominant host cost)
+        out = self._jax.device_get(out)
+        q = out["sync_q"]
+        raw = out["sync_raw"]
+        ok = out["decode_ok"]
+        metrics = out["metrics"]
+        frames = out["frames"]
+        p0 = out["p0"]
+        foff = out["freq_offset"]
         chans = range(self.channels) if only is None else np.flatnonzero(only)
         self._dropped_at = np.zeros(self.channels, np.int64)
         for c in chans:
@@ -405,27 +558,18 @@ class LockedStreamDemodulator:
                         self.perfect += 1
                     results.append((c, bytes(frames[c, k]),
                                     int(metrics[c, k]), float(q[c, k]),
-                                    self._abs_base + pos))
-        return results
-
-    def _finish_block(self, results, valid_limit):
-        self.refresh = self._want_refresh & self.locked
-        if valid_limit is None:
-            self._buf = self._slide(self._buf)
-            self._count -= self.advance
-            self._abs_base += self.advance
-            # grid positions repeat every frame, so after advancing by an
-            # exact frame multiple the equivalent sync position in the new
-            # window is p0 mod 86,720 (valid while the transmission is
-            # continuous — exactly the locked-mode assumption; a gap breaks
-            # sync_q and triggers re-acquisition anyway)
-            self.p0 = self.p0 % self.spf
+                                    base + pos))
         return results
 
     # ------------------------------------------------------------------ #
     # checkpoint/resume (stream/state.py)
 
     def state_tree(self):
+        if self._pending is not None:
+            raise RuntimeError(
+                "pipelined stream has a block in flight; checkpoint at a "
+                "flush boundary (call flush() first) or use the synchronous "
+                "driver for checkpointed streams")
         # pend is stored zero-padded to one full row + its true length so
         # the pytree structure (leaf shapes) is feed-history independent
         pend = self._jnp.zeros((self.channels, self.sps, 2), self.dtype)

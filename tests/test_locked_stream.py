@@ -237,6 +237,73 @@ class TestLockedStream:
         assert payloads == [bytes(f) for f in frames[:5]]
 
 
+class TestPipelined:
+    """pipeline=True defers each block's lifecycle by one block (fetch
+    overlaps the next block's compute) but must emit IDENTICAL tuples to
+    the synchronous driver — mispredictions relaunch on the retained
+    window (stream/locked.py _process_pipelined)."""
+
+    def _both(self, x, chunk):
+        outs = []
+        for pipe in (False, True):
+            sd = LockedStreamDemodulator(x.shape[0], block_frames=4,
+                                         pipeline=pipe)
+            outs.append((_run(sd, x, chunk=chunk), sd))
+        return outs
+
+    def test_equals_synchronous_clean_multichannel(self):
+        s, frames = _signal(10)
+        x = np.stack([s, np.concatenate([np.zeros(17, np.complex64),
+                                         s])[:len(s)]])
+        (ref, sd0), (pipe, sd1) = self._both(x, 123_457)
+        assert pipe == ref and len(ref) == 20
+        assert sd1.decoded == sd0.decoded and sd1.perfect == sd0.perfect
+
+    def test_equals_synchronous_lock_loss_cfo(self):
+        """Lock drop + re-hunt + CFO burst: every misprediction path
+        (drop relaunch, hunting blocks, lock gain) exercised."""
+        rng = np.random.default_rng(1)
+        s1, _ = _signal(6)
+        s2, _ = _signal(6, start=100)
+        gap = (rng.standard_normal(8 * SPF) +
+               1j * rng.standard_normal(8 * SPF)).astype(np.complex64) * 50.0
+        t = np.arange(len(s2))
+        s2 = (s2 * np.exp(2j * np.pi * 500.0 * t / CONFIG.sample_rate)
+              ).astype(np.complex64)
+        s2 = np.concatenate([np.zeros(23, np.complex64), s2])
+        x = np.concatenate([s1, gap, s2])[None, :]
+        (ref, sd0), (pipe, sd1) = self._both(x, 70_001)
+        assert pipe == ref
+        assert sd1.reacquisitions == sd0.reacquisitions
+
+    def test_equals_synchronous_under_clock_drift(self):
+        """Timing-refresh (retime) blocks force the resolve-first cadence
+        and the relaunch path, including backward grid wraps."""
+        s, _ = _signal(40)
+        d = 16e-6
+        n_out = int(len(s) / (1 + d))
+        t = np.arange(n_out) * (1 + d)
+        base = np.arange(len(s), dtype=np.float64)
+        drifted = (np.interp(t, base, s.real)
+                   + 1j * np.interp(t, base, s.imag)).astype(np.complex64)
+        x = drifted[None, :]
+        (ref, sd0), (pipe, sd1) = self._both(x, 200_003)
+        assert pipe == ref
+        assert sd1.refreshes == sd0.refreshes >= 2
+
+    def test_checkpoint_requires_quiesce(self):
+        s, _ = _signal(8)
+        sd = LockedStreamDemodulator(1, block_frames=4, pipeline=True)
+        out = sd.feed(s[None, :])
+        assert sd._pending is not None
+        with pytest.raises(RuntimeError, match="flush"):
+            sd.state_tree()
+        out += sd.flush()
+        sd.state_tree()                  # quiesced: fine
+        ref = _run(LockedStreamDemodulator(1, block_frames=4), s[None, :])
+        assert out == ref
+
+
 class TestDriftRefresh:
     def test_clock_drift_proactive_refresh(self):
         """A ppm-scale sample-clock drift decays sync quality; the driver's
