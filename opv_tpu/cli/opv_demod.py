@@ -96,7 +96,10 @@ def main(argv=None) -> int:
                       f"(feed-forward pipeline re-estimates CFO on "
                       f"acquisition and has no AFC loop)", file=err)
         nch = max(1, args.channels)
-        mc = LockedStreamDemodulator(channels=nch)
+        # pipelined: block N computes while block N-1's results are being
+        # fetched/printed — output is tuple-identical to the synchronous
+        # driver and the CLI never checkpoints mid-stream
+        mc = LockedStreamDemodulator(channels=nch, pipeline=True)
         n_samples = 0
         carry = b""
         # each multichannel sample instant is nch interleaved IQ pairs

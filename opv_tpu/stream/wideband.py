@@ -33,7 +33,7 @@ from opv_tpu.stream.multichannel import MultiChannelDemodulator
 class WidebandReceiver:
     def __init__(self, k: int, block_frames: int = 4,
                  taps_per_branch: int = 12, engine: str = "locked",
-                 quantum_out: int = 65536):
+                 quantum_out: int = 65536, pipeline: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -53,8 +53,11 @@ class WidebandReceiver:
 
         if engine == "locked":
             self.demod = LockedStreamDemodulator(channels=k,
-                                                 block_frames=block_frames)
+                                                 block_frames=block_frames,
+                                                 pipeline=pipeline)
         elif engine == "fast":
+            if pipeline:
+                raise ValueError("pipeline=True requires engine='locked'")
             self.demod = MultiChannelDemodulator(channels=k,
                                                  block_frames=block_frames)
         else:
