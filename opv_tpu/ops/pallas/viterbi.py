@@ -38,6 +38,11 @@ _FB = CONFIG.frame_bits          # 1072
 _INF = np.int32(0x7FFFFFFF)
 _GUARD = np.int32(0x7FFFFFF0)
 
+# trellis steps that keep the INT_MAX reachability guard: state s first
+# becomes reachable at step ceil(log2(s+1)) <= 6, so after 8 steps every
+# metric is finite and the steady ACS loop can drop the guard entirely
+_GUARD_STEPS = 8
+
 # frames per kernel instance (lane-axis width, multiple of 128).  The ACS
 # recurrence and traceback are SERIAL over 1072 trellis steps, so per-step
 # loop overhead is amortized over the lane width: wider tiles trade VMEM
@@ -61,6 +66,13 @@ B_TILE = int(os.environ.get("OPV_VITERBI_TILE", "0")) or None
 # bit-exact vs the XLA scan for every factor.
 UNROLL = int(os.environ.get("OPV_VITERBI_UNROLL", "2"))
 
+# survivor-word packing strategy: "vpu" (two 32-row weighted sublane
+# reductions) or "mxu" (one tiny f32 dot per step — exact, see
+# _viterbi_kernel).  v5e amortized sweep at t256 u2 (same session):
+# vpu 1.32 ms, mxu 1.48 ms — the per-step MXU round trip costs more than
+# the sublane reduction tree saves, so vpu is the default.
+PACK = os.environ.get("OPV_VITERBI_PACK", "vpu")
+
 
 def _default_tile(bsz: int) -> int:
     return B_TILE or (256 if bsz >= 256 else 128)
@@ -72,54 +84,95 @@ def _expected_cols():
     return np.stack([e1_0, e2_0, e1_1, e2_1], axis=1).astype(np.int32)
 
 
-def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
-                    *, b_tile, unroll):
+def _pack_weights():
+    """(8, 64) MXU packing matrix: row r holds weights 2^0..2^15 over states
+    16r..16r+15 (rows 4-7 zero — sublane padding to the (8, 128) tile)."""
+    w = np.zeros((8, _NS), np.float32)
+    for r in range(4):
+        w[r, 16 * r : 16 * (r + 1)] = 2.0 ** np.arange(16)
+    return w
+
+
+def _viterbi_kernel(exp_ref, wpk_ref, soft_ref, bits_ref, metric_ref,
+                    dec_ref, *, b_tile, unroll, pack):
     e1_0 = exp_ref[:, 0:1]                           # (64, 1)
     e2_0 = exp_ref[:, 1:2]
-    e1_1 = exp_ref[:, 2:3]
-    e2_1 = exp_ref[:, 3:4]
     soft_max = jnp.int32(CONFIG.soft_max)
 
     states = jax.lax.broadcasted_iota(jnp.int32, (_NS, b_tile), 0)
     weight = jnp.int32(1) << (states % 32)           # per-state pack weight
+    wpk = wpk_ref[...]                               # (8, 64) MXU pack rows
 
     metrics0 = jnp.where(states == 0, jnp.int32(0), _INF)
 
-    def acs_sub(metrics, sg1, sg2):
+    def acs_sub(metrics, sg1, sg2, guarded):
         """One radix-2 ACS update from (1, B) soft rows -> metrics, (2, B)
-        packed survivor words."""
-        bm0 = jnp.where(e1_0 == 1, soft_max - sg1, sg1) + \
-              jnp.where(e2_0 == 1, soft_max - sg2, sg2)      # (64, B)
-        bm1 = jnp.where(e1_1 == 1, soft_max - sg1, sg1) + \
-              jnp.where(e2_1 == 1, soft_max - sg2, sg2)
+        packed survivor words.
+
+        Branch-metric symmetry: g1 (0x4F) has trellis bit 5 CLEAR and g2
+        (0x6D) has it SET, so for parent p1 = p0 + 32 the expected g1 bit is
+        unchanged and the g2 bit flips: bm1 = a - b + soft_max where
+        bm0 = a + b (two selects instead of four).
+
+        `guarded` applies the INT_MAX reachability guard; every state is
+        structurally reachable after step 6, so only the first 8 steps need
+        it — the steady loop drops the two compare+selects per step.
+        """
+        a = jnp.where(e1_0 == 1, soft_max - sg1, sg1)          # (64, B)
+        b = jnp.where(e2_0 == 1, soft_max - sg2, sg2)
+        bm0 = a + b
+        bm1 = a - b + soft_max
         # parent p0 = s>>1: repeat lower half along sublanes; p1: upper half
         # (jnp.repeat — Mosaic rejects the broadcast_to+reshape equivalent)
         mp0 = jnp.repeat(metrics[: _NS // 2], 2, axis=0)
         mp1 = jnp.repeat(metrics[_NS // 2 :], 2, axis=0)
-        m0 = jnp.where(mp0 < _GUARD, mp0 + bm0, _INF)
-        m1 = jnp.where(mp1 < _GUARD, mp1 + bm1, _INF)
-        dec = (m1 < m0).astype(jnp.int32)            # (64, B)
+        if guarded:
+            m0 = jnp.where(mp0 < _GUARD, mp0 + bm0, _INF)
+            m1 = jnp.where(mp1 < _GUARD, mp1 + bm1, _INF)
+        else:
+            m0 = mp0 + bm0
+            m1 = mp1 + bm1
+        dec = m1 < m0                                # (64, B); ties -> p0
         # pack survivor bits: word0 = states 0..31, word1 = states 32..63
         # (all values kept 2-D — Mosaic mislowers 1-D vectors)
-        packed = dec * weight
-        w0 = jnp.sum(packed[: _NS // 2], axis=0, keepdims=True)   # (1, B)
-        w1 = jnp.sum(packed[_NS // 2 :], axis=0, keepdims=True)
-        return (jnp.where(dec == 1, m1, m0),
-                jnp.concatenate([w0, w1], axis=0))
+        if pack == "mxu":
+            # one tiny MXU dot replaces the two 32-row weighted reductions.
+            # Exact: weights are powers of two <= 2^15 (exactly bf16, so
+            # f32 operands split losslessly for the MXU's bf16 passes),
+            # dec is 0/1, accumulation is f32 and the 16-term row sums stay
+            # < 2^16 — every product and partial sum is representable.
+            decw = jax.lax.dot_general(
+                wpk, dec.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            w0 = decw[0:1] + decw[1:2] * 65536       # states 0..15 | 16..31
+            w1 = decw[2:3] + decw[3:4] * 65536       # states 32..47 | 48..63
+        else:
+            packed = dec.astype(jnp.int32) * weight
+            w0 = jnp.sum(packed[: _NS // 2], axis=0, keepdims=True)  # (1, B)
+            w1 = jnp.sum(packed[_NS // 2 :], axis=0, keepdims=True)
+        return jnp.minimum(m0, m1), jnp.concatenate([w0, w1], axis=0)
 
-    def acs_block(j, metrics):
+    def acs_block(j, metrics, base, guarded):
         # one dynamic load / store of `unroll` trellis steps; the sub-steps
         # index the loaded block statically
-        t = j * unroll
+        t = base + j * unroll
         sg_u = soft_ref[pl.ds(t, unroll)]            # (U, 2, B)
         words = []
         for k in range(unroll):
-            metrics, w = acs_sub(metrics, sg_u[k, 0:1, :], sg_u[k, 1:2, :])
+            metrics, w = acs_sub(metrics, sg_u[k, 0:1, :], sg_u[k, 1:2, :],
+                                 guarded)
             words.append(w[None])
         dec_ref[pl.ds(t, unroll)] = jnp.concatenate(words, axis=0)
         return metrics
 
-    metrics = jax.lax.fori_loop(0, _FB // unroll, acs_block, metrics0)
+    metrics = jax.lax.fori_loop(
+        0, _GUARD_STEPS // unroll,
+        functools.partial(acs_block, base=0, guarded=True), metrics0)
+    metrics = jax.lax.fori_loop(
+        0, (_FB - _GUARD_STEPS) // unroll,
+        functools.partial(acs_block, base=_GUARD_STEPS, guarded=False),
+        metrics)
 
     # Mosaic argmin supports float32 only, and its tie-breaking differs from
     # XLA's first-occurrence rule (the reference scans states upward,
@@ -149,19 +202,25 @@ def _viterbi_kernel(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
     jax.lax.fori_loop(0, _FB // unroll, tb_block, best)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "b_tile", "unroll"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "b_tile", "unroll", "pack"))
 def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
-                   b_tile: int | None = None, unroll: int | None = None):
+                   b_tile: int | None = None, unroll: int | None = None,
+                   pack: str | None = None):
     """Batched Viterbi via the Pallas kernel.
 
     soft: (B, 2144) int32 quantized soft symbols; B padded to b_tile
     (default: batch-adaptive 256/128, env OPV_VITERBI_TILE overrides).
     unroll: trellis steps per loop iteration (default UNROLL /
-    OPV_VITERBI_UNROLL; must divide 1072).
+    OPV_VITERBI_UNROLL; must divide 8 and 1072: 1, 2, 4 or 8).
+    pack: survivor-word packing — "mxu" (tiny bf16 dot, default) or "vpu"
+    (weighted sublane reductions); OPV_VITERBI_PACK overrides.
     Returns (bits (B, 1072) int32, metrics (B,) int32).
     """
     u = unroll or UNROLL
-    assert _FB % u == 0, u
+    assert _FB % u == 0 and _GUARD_STEPS % u == 0, u
+    pk = pack or PACK
+    assert pk in ("mxu", "vpu"), pk
     bt = b_tile or _default_tile(soft.shape[0])
     bsz = soft.shape[0]
     pad = (-bsz) % bt
@@ -172,10 +231,13 @@ def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
     soft_t = soft.astype(jnp.int32).reshape(-1, _FB, 2).transpose(1, 2, 0)
 
     exp = jnp.asarray(_expected_cols())              # (64, 4)
+    wpk = jnp.asarray(_pack_weights())               # (8, 64)
     bits_t, metric = pl.pallas_call(
-        functools.partial(_viterbi_kernel, b_tile=bt, unroll=u),
+        functools.partial(_viterbi_kernel, b_tile=bt, unroll=u, pack=pk),
         grid=(nb,),
         in_specs=[pl.BlockSpec((_NS, 4), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, _NS), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((_FB, 2, bt), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM)],
@@ -187,5 +249,5 @@ def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
                    jax.ShapeDtypeStruct((1, soft.shape[0]), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((_FB, 2, bt), jnp.int32)],
         interpret=interpret,
-    )(exp, soft_t)
+    )(exp, wpk, soft_t)
     return bits_t.T[:bsz], metric[0, :bsz]

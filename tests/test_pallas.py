@@ -74,10 +74,14 @@ class TestPallasViterbi:
         soft = jnp.asarray(rng.integers(0, 256, (3, CONFIG.encoded_bits))
                            .astype(np.int32))
         b1, m1 = viterbi_decode_batch(soft)
-        for u in (1, 2, 8, 16):
-            b2, m2 = viterbi_pallas(soft, interpret=True, unroll=u)
-            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
-            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        # u must divide the 8-step guarded prologue (u16 measured slower
+        # than u2 anyway); sweep both survivor-packing strategies
+        for u in (1, 2, 4, 8):
+            for pk in ("mxu", "vpu"):
+                b2, m2 = viterbi_pallas(soft, interpret=True, unroll=u,
+                                        pack=pk)
+                np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+                np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
 
 
 class TestPallasCorrelator:

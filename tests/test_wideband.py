@@ -14,7 +14,8 @@ from opv_tpu.stream.wideband import WidebandReceiver  # noqa: E402
 
 
 class TestWidebandReceiver:
-    def test_streaming_decode(self):
+    @pytest.mark.parametrize("pipeline", [False, True])
+    def test_streaming_decode(self, pipeline):
         k = 4
         sets = {0: build_bert_frame("W5NYV", frame_num=np.arange(6)),
                 2: build_bert_frame("TEST", frame_num=np.arange(6))}
@@ -28,7 +29,7 @@ class TestWidebandReceiver:
         n = max(map(len, wb.values()))
         x = synthesize_wideband(wb, k, n)
 
-        rx = WidebandReceiver(k, block_frames=3)
+        rx = WidebandReceiver(k, block_frames=3, pipeline=pipeline)
         res = []
         rng = np.random.default_rng(0)
         off = 0

@@ -50,9 +50,11 @@ def main() -> int:
     ap.add_argument("--tiles", type=int, nargs="+", default=None,
                     help="extra pallas-viterbi lane-tile widths to sweep "
                          "(multiples of 128)")
-    ap.add_argument("--vit", nargs="+", default=None, metavar="TILE,UNROLL",
-                    help="amortized pallas-viterbi (lane_tile, unroll) "
-                         "combos to sweep, e.g. --vit 256,1 256,4 128,8")
+    ap.add_argument("--vit", nargs="+", default=None,
+                    metavar="TILE,UNROLL[,PACK]",
+                    help="amortized pallas-viterbi (lane_tile, unroll[, "
+                         "pack]) combos to sweep, e.g. --vit 256,1 256,4 "
+                         "256,2,vpu")
     args = ap.parse_args()
 
     import jax
@@ -263,17 +265,20 @@ def main() -> int:
     res["stages_ms"]["extract_amortized"] = per * 1e3
 
     for spec in (args.vit or []):
-        # amortized (tile, unroll) sweep — isolated timings are RTT-bound
-        from opv_tpu.ops.pallas.viterbi import viterbi_pallas
-        bt, u = (int(v) for v in spec.split(","))
+        # amortized (tile, unroll[, pack]) sweep — isolated timings are
+        # RTT-bound
+        from opv_tpu.ops.pallas.viterbi import PACK, viterbi_pallas
+        parts = spec.split(",")
+        bt, u = int(parts[0]), int(parts[1])
+        pk = parts[2] if len(parts) > 2 else PACK
 
-        def _vp_digest(d, bt=bt, u=u):
+        def _vp_digest(d, bt=bt, u=u, pk=pk):
             bits, metrics = viterbi_pallas(d, interpret=(platform != "tpu"),
-                                           b_tile=bt, unroll=u)
+                                           b_tile=bt, unroll=u, pack=pk)
             return (bits.astype(jnp.float32).sum()
                     + metrics.astype(jnp.float32).sum())
-        per = amortized(_vp_digest, deint, f"viterbi_p_t{bt}u{u}")
-        res["stages_ms"][f"viterbi_p_t{bt}u{u}_amortized"] = per * 1e3
+        per = amortized(_vp_digest, deint, f"viterbi_p_t{bt}u{u}{pk}")
+        res["stages_ms"][f"viterbi_p_t{bt}u{u}{pk}_amortized"] = per * 1e3
 
     for be in backends:
         registry.set_backend(be)
