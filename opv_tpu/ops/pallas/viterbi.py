@@ -73,6 +73,15 @@ UNROLL = int(os.environ.get("OPV_VITERBI_UNROLL", "2"))
 # the sublane reduction tree saves, so vpu is the default.
 PACK = os.environ.get("OPV_VITERBI_PACK", "vpu")
 
+# ACS radix: 2 = one trellis step per recurrence iteration, 4 = two steps
+# fused into one 4-way compare (_viterbi_kernel_r4) — half the serial chain
+# at slightly more vector work per iteration.  v5e amortized, 1280 frames,
+# t256 u2, same session: radix-4 0.872 ms vs radix-2 1.294 ms (-33%).
+# Hardware caveat: radix-4 u4 crashes the remote Mosaic compiler
+# ("Check failed: limits[i] <= dim(i)", reproducible, both soft dtypes);
+# u1/u2 validated bit-exact repeatedly.  u2 is the default and fastest.
+RADIX = int(os.environ.get("OPV_VITERBI_RADIX", "4"))
+
 
 def _default_tile(bsz: int) -> int:
     return B_TILE or (256 if bsz >= 256 else 128)
@@ -91,6 +100,27 @@ def _pack_weights():
     for r in range(4):
         w[r, 16 * r : 16 * (r + 1)] = 2.0 ** np.arange(16)
     return w
+
+
+def _expected_cols_r4():
+    """(64, 8) expected-bit tables for the radix-4 kernel, indexed by the
+    FINAL state s of a fused double-step:
+      col 0/1: e1, e2 for the second step's p0 parent (same as radix-2),
+      col 2/3: e1, e2 for the first step (g -> p) when p = s>>1      (bp=0),
+      col 4/5: e1, e2 for the first step when p = s>>1 + 32          (bp=1),
+      col 6/7: zero padding (lane-dim tile).
+    Upper-parent (bg=1 / bp=1 second-step) variants follow from the bit-5
+    polynomial symmetry: e1 unchanged, e2 flipped."""
+    _, _, e1_0, e2_0, _, _ = _tables()
+    s = np.arange(_NS)
+    pa = s >> 1                     # second-step p0 parent / bp=0 intermediate
+    pb = pa + _NS // 2
+    cols = np.stack([e1_0, e2_0,
+                     e1_0[pa], e2_0[pa],
+                     e1_0[pb], e2_0[pb],
+                     np.zeros(_NS, np.int32), np.zeros(_NS, np.int32)],
+                    axis=1)
+    return cols.astype(np.int32)
 
 
 def _viterbi_kernel(exp_ref, wpk_ref, soft_ref, bits_ref, metric_ref,
@@ -157,13 +187,14 @@ def _viterbi_kernel(exp_ref, wpk_ref, soft_ref, bits_ref, metric_ref,
         # one dynamic load / store of `unroll` trellis steps; the sub-steps
         # index the loaded block statically
         t = base + j * unroll
-        sg_u = soft_ref[pl.ds(t, unroll)]            # (U, 2, B)
+        sg_u = soft_ref[pl.ds(t, unroll)].astype(jnp.int32)  # (U, 2, B)
         words = []
         for k in range(unroll):
             metrics, w = acs_sub(metrics, sg_u[k, 0:1, :], sg_u[k, 1:2, :],
                                  guarded)
             words.append(w[None])
-        dec_ref[pl.ds(t, unroll)] = jnp.concatenate(words, axis=0)
+        dec_ref[pl.ds(t, unroll)] = (
+            words[0] if unroll == 1 else jnp.concatenate(words, axis=0))
         return metrics
 
     metrics = jax.lax.fori_loop(
@@ -202,52 +233,198 @@ def _viterbi_kernel(exp_ref, wpk_ref, soft_ref, bits_ref, metric_ref,
     jax.lax.fori_loop(0, _FB // unroll, tb_block, best)
 
 
+def _viterbi_kernel_r4(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
+                       *, b_tile, unroll):
+    """Radix-4 ACS: two trellis steps fused into one 4-way compare, halving
+    the serial recurrence length (536 fused steps instead of 1072).
+
+    Exactness: the 4 grandparent candidates of final state s are
+    g = (s>>2) + 16*bp + 32*bg with combined branch metric
+    bm(g->p) + bm(p->s), p = (s>>1) + 32*bp.  The intermediate INT_MAX
+    clamp is equivalent to clamping on M[g] alone (finite metrics never
+    approach the guard), and the priority-ordered pairwise min tree
+    (bg within bp, then bp) reproduces the sequential radix-2 tie rules
+    exactly: ties prefer the lower grandparent, then the lower parent.
+
+    Decision tape: (536, 4, B) packed words [bp_w0, bp_w1, bg_w0, bg_w1];
+    traceback reconstructs the intermediate state p (and its bit) from bp,
+    then hops to the grandparent via bg."""
+    E1b = exp_ref[:, 0:1]                            # (64, 1) second step
+    E2b = exp_ref[:, 1:2]
+    E1a0 = exp_ref[:, 2:3]                           # first step, bp=0
+    E2a0 = exp_ref[:, 3:4]
+    E1a1 = exp_ref[:, 4:5]                           # first step, bp=1
+    E2a1 = exp_ref[:, 5:6]
+    soft_max = jnp.int32(CONFIG.soft_max)
+
+    states = jax.lax.broadcasted_iota(jnp.int32, (_NS, b_tile), 0)
+    weight = jnp.int32(1) << (states % 32)
+    metrics0 = jnp.where(states == 0, jnp.int32(0), _INF)
+    q = _NS // 4
+
+    def _pack(dec):
+        packed = dec.astype(jnp.int32) * weight
+        return (jnp.sum(packed[: _NS // 2], axis=0, keepdims=True),
+                jnp.sum(packed[_NS // 2 :], axis=0, keepdims=True))
+
+    def acs2(metrics, sg, guarded):
+        sg1a, sg2a = sg[0:1, :], sg[1:2, :]          # first step (t)
+        sg1b, sg2b = sg[2:3, :], sg[3:4, :]          # second step (t+1)
+        a2 = jnp.where(E1b == 1, soft_max - sg1b, sg1b)
+        b2 = jnp.where(E2b == 1, soft_max - sg2b, sg2b)
+        bmB0 = a2 + b2                               # second step via p0
+        bmB1 = a2 - b2 + soft_max                    # via p1 (bit-5 symmetry)
+        a10 = jnp.where(E1a0 == 1, soft_max - sg1a, sg1a)
+        b10 = jnp.where(E2a0 == 1, soft_max - sg2a, sg2a)
+        a11 = jnp.where(E1a1 == 1, soft_max - sg1a, sg1a)
+        b11 = jnp.where(E2a1 == 1, soft_max - sg2a, sg2a)
+        c00 = bmB0 + a10 + b10                       # (bp, bg) combined bm
+        c01 = bmB0 + a10 - b10 + soft_max
+        c10 = bmB1 + a11 + b11
+        c11 = bmB1 + a11 - b11 + soft_max
+        m00 = jnp.repeat(metrics[0 * q : 1 * q], 4, axis=0)   # g = s>>2
+        m10 = jnp.repeat(metrics[1 * q : 2 * q], 4, axis=0)   # + 16
+        m01 = jnp.repeat(metrics[2 * q : 3 * q], 4, axis=0)   # + 32
+        m11 = jnp.repeat(metrics[3 * q : 4 * q], 4, axis=0)   # + 48
+        if guarded:
+            c00 = jnp.where(m00 < _GUARD, m00 + c00, _INF)
+            c01 = jnp.where(m01 < _GUARD, m01 + c01, _INF)
+            c10 = jnp.where(m10 < _GUARD, m10 + c10, _INF)
+            c11 = jnp.where(m11 < _GUARD, m11 + c11, _INF)
+        else:
+            c00 = m00 + c00
+            c01 = m01 + c01
+            c10 = m10 + c10
+            c11 = m11 + c11
+        # decisions as int32 immediately — Mosaic rejects selects on i1
+        # values ("Unsupported target bitwidth for truncation")
+        dga = (c01 < c00).astype(jnp.int32)          # bg within bp=0
+        va = jnp.minimum(c00, c01)
+        dgb = (c11 < c10).astype(jnp.int32)          # bg within bp=1
+        vb = jnp.minimum(c10, c11)
+        bp = (vb < va).astype(jnp.int32)             # ties -> bp=0
+        bg = jnp.where(bp == 1, dgb, dga)
+        wp0, wp1 = _pack(bp)
+        wg0, wg1 = _pack(bg)
+        return (jnp.minimum(va, vb),
+                jnp.concatenate([wp0, wp1, wg0, wg1], axis=0))
+
+    def acs_block(j, metrics, base, guarded):
+        t = base + j * unroll                        # in double-steps
+        sg_u = soft_ref[pl.ds(t, unroll)].astype(jnp.int32)   # (U, 4, B)
+        for k in range(unroll):
+            metrics, w = acs2(metrics, sg_u[k], guarded)
+            # single-row stores; the expensive block access (the soft
+            # load) stays one (U, 4, B).  NOTE u4 crashes the remote
+            # Mosaic compiler regardless of store shape (see RADIX note)
+            dec_ref[pl.ds(t + k, 1)] = w[None]
+        return metrics
+
+    ds = _FB // 2
+    g4 = _GUARD_STEPS // 2
+    metrics = jax.lax.fori_loop(
+        0, g4 // unroll,
+        functools.partial(acs_block, base=0, guarded=True), metrics0)
+    metrics = jax.lax.fori_loop(
+        0, (ds - g4) // unroll,
+        functools.partial(acs_block, base=g4, guarded=False), metrics)
+
+    composite = (metrics * _NS + states).astype(jnp.float32)
+    best = jnp.argmin(composite, axis=0, keepdims=True).astype(jnp.int32)
+    metric_ref[pl.ds(0, 1)] = jnp.min(metrics, axis=0, keepdims=True)
+
+    def tb_block(j, s):                              # s (1, B)
+        td = ds - unroll - j * unroll
+        words_u = dec_ref[pl.ds(td, unroll)]         # (U, 4, B)
+        for k in reversed(range(unroll)):
+            w = words_u[k]                           # (4, B)
+            bits_ref[pl.ds(2 * (td + k) + 1, 1)] = s & 1
+            selp = jnp.where(s < _NS // 2, w[0:1, :], w[1:2, :])
+            bp = (selp >> (s % 32)) & 1
+            p = (s >> 1) + bp * (_NS // 2)
+            bits_ref[pl.ds(2 * (td + k), 1)] = p & 1
+            selg = jnp.where(s < _NS // 2, w[2:3, :], w[3:4, :])
+            bg = (selg >> (s % 32)) & 1
+            s = (p >> 1) + bg * (_NS // 2)
+        return s
+
+    jax.lax.fori_loop(0, ds // unroll, tb_block, best)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "b_tile", "unroll", "pack"))
+                   static_argnames=("interpret", "b_tile", "unroll", "pack",
+                                    "radix"))
 def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
                    b_tile: int | None = None, unroll: int | None = None,
-                   pack: str | None = None):
+                   pack: str | None = None, radix: int | None = None):
     """Batched Viterbi via the Pallas kernel.
 
-    soft: (B, 2144) int32 quantized soft symbols; B padded to b_tile
-    (default: batch-adaptive 256/128, env OPV_VITERBI_TILE overrides).
-    unroll: trellis steps per loop iteration (default UNROLL /
-    OPV_VITERBI_UNROLL; must divide 8 and 1072: 1, 2, 4 or 8).
-    pack: survivor-word packing — "mxu" (tiny bf16 dot, default) or "vpu"
-    (weighted sublane reductions); OPV_VITERBI_PACK overrides.
+    soft: (B, 2144) int32 quantized soft symbols (values < 2^15 — stored
+    int16 in VMEM); B padded to b_tile (default: batch-adaptive 256/128,
+    env OPV_VITERBI_TILE overrides).
+    unroll: trellis steps (radix-2) or fused double-steps (radix-4) per
+    loop iteration (default UNROLL / OPV_VITERBI_UNROLL; 1, 2, 4 or 8 —
+    radix-4 allows 1, 2, 4).
+    pack: survivor-word packing — "vpu" (weighted sublane reductions,
+    default) or "mxu" (tiny f32 dot); OPV_VITERBI_PACK overrides.
+    radix: 2 (one trellis step per ACS) or 4 (fused double-steps, half the
+    serial chain); default RADIX / OPV_VITERBI_RADIX.
     Returns (bits (B, 1072) int32, metrics (B,) int32).
     """
     u = unroll or UNROLL
-    assert _FB % u == 0 and _GUARD_STEPS % u == 0, u
+    r = radix or RADIX
+    assert r in (2, 4), r
     pk = pack or PACK
     assert pk in ("mxu", "vpu"), pk
+    steps = _FB // (r // 2)                          # serial ACS iterations
+    assert steps % u == 0 and (_GUARD_STEPS * 2 // r) % u == 0, (r, u)
     bt = b_tile or _default_tile(soft.shape[0])
     bsz = soft.shape[0]
     pad = (-bsz) % bt
     if pad:
         soft = jnp.pad(soft, ((0, pad), (0, 0)))
     nb = soft.shape[0] // bt
-    # layout: (1072, 2, Btot) — time major, (g1,g2) sublane, batch lanes
-    soft_t = soft.astype(jnp.int32).reshape(-1, _FB, 2).transpose(1, 2, 0)
+    # layout: (steps, 2 or 4, Btot) — time major, the step's soft symbols
+    # on sublanes, batch lanes.  int16 storage halves the kernel's largest
+    # VMEM block (the quantized soft range is 0..7; anything < 2^15 is
+    # exact).
+    soft_t = soft.astype(jnp.int16).reshape(-1, steps, 2 * r // 2)
+    soft_t = soft_t.transpose(1, 2, 0)
 
-    exp = jnp.asarray(_expected_cols())              # (64, 4)
-    wpk = jnp.asarray(_pack_weights())               # (8, 64)
+    if r == 4:
+        exp = jnp.asarray(_expected_cols_r4())       # (64, 8)
+        kern = functools.partial(_viterbi_kernel_r4, b_tile=bt, unroll=u)
+        in_specs = [pl.BlockSpec((_NS, 8), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((steps, 4, bt), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)]
+        operands = (exp, soft_t)
+        scratch = pltpu.VMEM((steps, 4, bt), jnp.int32)
+    else:
+        exp = jnp.asarray(_expected_cols())          # (64, 4)
+        wpk = jnp.asarray(_pack_weights())           # (8, 64)
+        kern = functools.partial(_viterbi_kernel, b_tile=bt, unroll=u,
+                                 pack=pk)
+        in_specs = [pl.BlockSpec((_NS, 4), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, _NS), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((steps, 2, bt), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)]
+        operands = (exp, wpk, soft_t)
+        scratch = pltpu.VMEM((steps, 2, bt), jnp.int32)
+
     bits_t, metric = pl.pallas_call(
-        functools.partial(_viterbi_kernel, b_tile=bt, unroll=u, pack=pk),
+        kern,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((_NS, 4), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, _NS), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((_FB, 2, bt), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((_FB, bt), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, bt), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((_FB, soft.shape[0]), jnp.int32),
                    jax.ShapeDtypeStruct((1, soft.shape[0]), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((_FB, 2, bt), jnp.int32)],
+        scratch_shapes=[scratch],
         interpret=interpret,
-    )(exp, wpk, soft_t)
+    )(*operands)
     return bits_t.T[:bsz], metric[0, :bsz]

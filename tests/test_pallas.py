@@ -79,9 +79,32 @@ class TestPallasViterbi:
         for u in (1, 2, 4, 8):
             for pk in ("mxu", "vpu"):
                 b2, m2 = viterbi_pallas(soft, interpret=True, unroll=u,
-                                        pack=pk)
+                                        pack=pk, radix=2)
                 np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
                 np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        # radix-4 fused double-steps (u8 would not divide the 4-double-step
+        # guarded prologue)
+        for u in (1, 2, 4):
+            b2, m2 = viterbi_pallas(soft, interpret=True, unroll=u, radix=4)
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    def test_radix4_tie_stress(self):
+        """Low-entropy inputs force massive metric ties; the radix-4
+        priority-ordered min tree must reproduce the sequential radix-2
+        tie rules (lower grandparent, then lower parent) exactly."""
+        rng = np.random.default_rng(8)
+        soft = np.concatenate([
+            rng.integers(0, 2, (4, CONFIG.encoded_bits)),
+            np.zeros((2, CONFIG.encoded_bits)),
+            np.full((2, CONFIG.encoded_bits), 7),
+            rng.integers(3, 5, (2, CONFIG.encoded_bits))]).astype(np.int32)
+        soft = jnp.asarray(soft)
+        b1, m1 = viterbi_decode_batch(soft)
+        for r in (2, 4):
+            b2, m2 = viterbi_pallas(soft, interpret=True, radix=r)
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
 
 
 class TestPallasCorrelator:

@@ -51,10 +51,10 @@ def main() -> int:
                     help="extra pallas-viterbi lane-tile widths to sweep "
                          "(multiples of 128)")
     ap.add_argument("--vit", nargs="+", default=None,
-                    metavar="TILE,UNROLL[,PACK]",
+                    metavar="TILE,UNROLL[,PACK[,RADIX]]",
                     help="amortized pallas-viterbi (lane_tile, unroll[, "
-                         "pack]) combos to sweep, e.g. --vit 256,1 256,4 "
-                         "256,2,vpu")
+                         "pack[, radix]]) combos to sweep, e.g. --vit "
+                         "256,1 256,4 256,2,vpu 256,2,vpu,4")
     args = ap.parse_args()
 
     import jax
@@ -267,18 +267,20 @@ def main() -> int:
     for spec in (args.vit or []):
         # amortized (tile, unroll[, pack]) sweep — isolated timings are
         # RTT-bound
-        from opv_tpu.ops.pallas.viterbi import PACK, viterbi_pallas
+        from opv_tpu.ops.pallas.viterbi import PACK, RADIX, viterbi_pallas
         parts = spec.split(",")
         bt, u = int(parts[0]), int(parts[1])
         pk = parts[2] if len(parts) > 2 else PACK
+        rx = int(parts[3]) if len(parts) > 3 else RADIX
 
-        def _vp_digest(d, bt=bt, u=u, pk=pk):
+        def _vp_digest(d, bt=bt, u=u, pk=pk, rx=rx):
             bits, metrics = viterbi_pallas(d, interpret=(platform != "tpu"),
-                                           b_tile=bt, unroll=u, pack=pk)
+                                           b_tile=bt, unroll=u, pack=pk,
+                                           radix=rx)
             return (bits.astype(jnp.float32).sum()
                     + metrics.astype(jnp.float32).sum())
-        per = amortized(_vp_digest, deint, f"viterbi_p_t{bt}u{u}{pk}")
-        res["stages_ms"][f"viterbi_p_t{bt}u{u}{pk}_amortized"] = per * 1e3
+        per = amortized(_vp_digest, deint, f"viterbi_p_t{bt}u{u}{pk}r{rx}")
+        res["stages_ms"][f"viterbi_p_t{bt}u{u}{pk}r{rx}_amortized"] = per * 1e3
 
     for be in backends:
         registry.set_backend(be)
