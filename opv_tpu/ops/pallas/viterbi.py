@@ -82,7 +82,6 @@ PACK = os.environ.get("OPV_VITERBI_PACK", "vpu")
 # u1/u2 validated bit-exact repeatedly.  u2 is the default and fastest.
 RADIX = int(os.environ.get("OPV_VITERBI_RADIX", "4"))
 
-
 def _default_tile(bsz: int) -> int:
     return B_TILE or (256 if bsz >= 256 else 128)
 
@@ -124,7 +123,7 @@ def _expected_cols_r4():
 
 
 def _viterbi_kernel(exp_ref, wpk_ref, soft_ref, bits_ref, metric_ref,
-                    dec_ref, *, b_tile, unroll, pack):
+                    dec_ref, *, b_tile, unroll, pack, tb=True):
     e1_0 = exp_ref[:, 0:1]                           # (64, 1)
     e2_0 = exp_ref[:, 1:2]
     soft_max = jnp.int32(CONFIG.soft_max)
@@ -230,11 +229,12 @@ def _viterbi_kernel(exp_ref, wpk_ref, soft_ref, bits_ref, metric_ref,
             s = jnp.where(took_p1 == 1, (s >> 1) + _NS // 2, s >> 1)
         return s
 
-    jax.lax.fori_loop(0, _FB // unroll, tb_block, best)
+    if tb:  # stage_bench --vit-split hook: time ACS alone
+        jax.lax.fori_loop(0, _FB // unroll, tb_block, best)
 
 
 def _viterbi_kernel_r4(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
-                       *, b_tile, unroll):
+                       *, b_tile, unroll, tb=True):
     """Radix-4 ACS: two trellis steps fused into one 4-way compare, halving
     the serial recurrence length (536 fused steps instead of 1072).
 
@@ -348,15 +348,17 @@ def _viterbi_kernel_r4(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
             s = (p >> 1) + bg * (_NS // 2)
         return s
 
-    jax.lax.fori_loop(0, ds // unroll, tb_block, best)
+    if tb:  # stage_bench --vit-split hook: time ACS alone
+        jax.lax.fori_loop(0, ds // unroll, tb_block, best)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "b_tile", "unroll", "pack",
-                                    "radix"))
+                                    "radix", "_tb"))
 def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
                    b_tile: int | None = None, unroll: int | None = None,
-                   pack: str | None = None, radix: int | None = None):
+                   pack: str | None = None, radix: int | None = None,
+                   _tb: bool = True):
     """Batched Viterbi via the Pallas kernel.
 
     soft: (B, 2144) int32 quantized soft symbols (values < 2^15 — stored
@@ -393,7 +395,8 @@ def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
 
     if r == 4:
         exp = jnp.asarray(_expected_cols_r4())       # (64, 8)
-        kern = functools.partial(_viterbi_kernel_r4, b_tile=bt, unroll=u)
+        kern = functools.partial(_viterbi_kernel_r4, b_tile=bt, unroll=u,
+                                 tb=_tb)
         in_specs = [pl.BlockSpec((_NS, 8), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((steps, 4, bt), lambda i: (0, 0, i),
@@ -404,7 +407,7 @@ def viterbi_pallas(soft: jnp.ndarray, interpret: bool = False,
         exp = jnp.asarray(_expected_cols())          # (64, 4)
         wpk = jnp.asarray(_pack_weights())           # (8, 64)
         kern = functools.partial(_viterbi_kernel, b_tile=bt, unroll=u,
-                                 pack=pk)
+                                 pack=pk, tb=_tb)
         in_specs = [pl.BlockSpec((_NS, 4), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((8, _NS), lambda i: (0, 0),

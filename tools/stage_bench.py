@@ -50,6 +50,10 @@ def main() -> int:
     ap.add_argument("--tiles", type=int, nargs="+", default=None,
                     help="extra pallas-viterbi lane-tile widths to sweep "
                          "(multiples of 128)")
+    ap.add_argument("--vit-split", action="store_true",
+                    help="also time the pallas Viterbi with the traceback "
+                         "loop traced out (ops.pallas.viterbi._TB hook), "
+                         "isolating the ACS recurrence")
     ap.add_argument("--vit", nargs="+", default=None,
                     metavar="TILE,UNROLL[,PACK[,RADIX]]",
                     help="amortized pallas-viterbi (lane_tile, unroll[, "
@@ -281,6 +285,18 @@ def main() -> int:
                     + metrics.astype(jnp.float32).sum())
         per = amortized(_vp_digest, deint, f"viterbi_p_t{bt}u{u}{pk}r{rx}")
         res["stages_ms"][f"viterbi_p_t{bt}u{u}{pk}r{rx}_amortized"] = per * 1e3
+
+        if args.vit_split:
+            def _acs_digest(d, bt=bt, u=u, pk=pk, rx=rx):
+                # metrics only — bits output is unwritten without traceback
+                _, metrics = viterbi_pallas(d, interpret=(platform != "tpu"),
+                                            b_tile=bt, unroll=u, pack=pk,
+                                            radix=rx, _tb=False)
+                return metrics.astype(jnp.float32).sum()
+            per = amortized(_acs_digest, deint,
+                            f"viterbi_acs_t{bt}u{u}{pk}r{rx}")
+            res["stages_ms"][f"viterbi_acs_t{bt}u{u}{pk}r{rx}_amortized"] = \
+                per * 1e3
 
     for be in backends:
         registry.set_backend(be)
