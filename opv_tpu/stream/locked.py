@@ -154,8 +154,11 @@ class LockedStreamDemodulator:
         self._jnp = jnp
         self._jax = jax
 
-        self._buf = jnp.zeros((channels, self.window // self.sps,
-                               2 * self.sps), self.dtype)
+        # jitted: eager-op dispatch is unreliable on the axon tunnel
+        # (UNIMPLEMENTED / hangs) while jit executables work
+        self._zeros = jax.jit(lambda: jnp.zeros(
+            (channels, self.window // self.sps, 2 * self.sps), self.dtype))
+        self._buf = self._zeros()
         self._count = 0                 # valid samples in buffer
         self._pend = None               # (C, <40, 2) sub-row feed tail
         self._abs_base = 0              # absolute index of buffer sample 0
@@ -294,7 +297,7 @@ class LockedStreamDemodulator:
             results = self._process(valid_limit=self._count)
         self._abs_base += self._count
         self._count = 0
-        self._buf = self._jnp.zeros_like(self._buf)
+        self._buf = self._zeros()
         return drained + results
 
     # ------------------------------------------------------------------ #

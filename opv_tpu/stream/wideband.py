@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from opv_tpu.config import CONFIG
 from opv_tpu.rx.channelizer import channelize
 from opv_tpu.stream.locked import LockedStreamDemodulator
 from opv_tpu.stream.multichannel import MultiChannelDemodulator
@@ -33,7 +34,7 @@ from opv_tpu.stream.multichannel import MultiChannelDemodulator
 class WidebandReceiver:
     def __init__(self, k: int, block_frames: int = 4,
                  taps_per_branch: int = 12, engine: str = "locked",
-                 quantum_out: int = 65536, pipeline: bool = False):
+                 quantum_out: int | None = None, pipeline: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -43,12 +44,23 @@ class WidebandReceiver:
         # fixed processing quantum (wideband samples per channelizer call):
         # channelize jit-compiles per input length, so ragged feeds would
         # otherwise trigger up to K recompilations (20-120 s each through a
-        # TPU tunnel); only flush sees one ragged-tail compile
+        # TPU tunnel); only flush sees one ragged-tail compile.  The default
+        # quantum is ONE FRAME per channel: because it divides the inner
+        # demodulator's block advance, the demod-level append/slice shapes
+        # repeat after the first block — any other quantum cycles the
+        # chunk-split shapes through up to advance/gcd distinct values, each
+        # a fresh jit compile (measured 2.2 s/chunk through the tunnel vs
+        # ~50 ms warm)
+        if quantum_out is None:
+            quantum_out = CONFIG.samples_per_frame
         self._quantum = k * quantum_out
         self.window = self._hist + self._quantum
         self._jnp = jnp
 
-        self._buf = jnp.zeros(self.window, jnp.complex64)
+        # jitted: eager-op dispatch is unreliable on the axon tunnel
+        # (UNIMPLEMENTED / hangs) while jit executables work
+        self._zeros = jax.jit(lambda: jnp.zeros(self.window, jnp.complex64))
+        self._buf = self._zeros()
         self._count = 0                              # valid samples in _buf
 
         if engine == "locked":
@@ -111,7 +123,7 @@ class WidebandReceiver:
             usable = h + ((self._count - h) // self.k) * self.k
             results.extend(self.demod.feed(
                 channelize(self._buf[:usable], self.k, self.taps)))
-        self._buf = self._jnp.zeros_like(self._buf)
+        self._buf = self._zeros()
         self._count = 0
         results.extend(self.demod.flush())
         return results

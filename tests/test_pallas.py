@@ -105,6 +105,11 @@ class TestPallasViterbi:
             b2, m2 = viterbi_pallas(soft, interpret=True, radix=r)
             np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
             np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        # independent radix-4 oracle (plain-XLA fusion, rx/viterbi.py)
+        from opv_tpu.rx.viterbi import viterbi_decode_r4_batch
+        b3, m3 = viterbi_decode_r4_batch(soft)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b3))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m3))
 
 
 class TestPallasCorrelator:

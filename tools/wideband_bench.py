@@ -37,6 +37,9 @@ def main() -> int:
                     help="channels carrying signal (channelizer cost is "
                          "independent of this; memory is not)")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--pipeline", action="store_true",
+                    help="pipelined inner demod driver (block N computes "
+                         "while N-1's results are fetched)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -96,7 +99,7 @@ def main() -> int:
     log(f"wideband synthesized on-device: {n_wb} samples "
         f"({k} channels, {len(active)} active)")
 
-    rx = WidebandReceiver(k, block_frames=2)
+    rx = WidebandReceiver(k, block_frames=2, pipeline=args.pipeline)
     quantum = rx._quantum
     if n_wb < rx.window:
         raise SystemExit("cycle shorter than one channelizer window")
