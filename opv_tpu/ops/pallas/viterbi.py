@@ -1,22 +1,30 @@
 """Pallas TPU kernel: batched 64-state soft-decision Viterbi.
 
 Same trellis semantics as opv_tpu.rx.viterbi (reference parity:
-src/opv-demod.cpp:800-847) but executed as ONE kernel per 128-frame tile —
+src/opv-demod.cpp:800-847) but executed as ONE kernel per lane tile —
 metrics, decisions, and the traceback all live in VMEM, avoiding the
 1072-step XLA while-loop's per-iteration HBM traffic.
 
 Layout (Mosaic-native):
-  * the frame batch rides the LANE axis (128 frames per tile),
+  * the frame batch rides the LANE axis (128/256 frames per tile),
   * the 64 trellis states ride the SUBLANE axis,
   * the trellis time axis is the major dimension of every dynamically
-    indexed ref (soft (1072, 2, 128), bits (1072, 128), decisions
-    (1072, 2, 128)),
-  * decisions are BIT-PACKED: two int32 words per (step, frame) hold the 64
-    per-state survivor choices, so the decision tape is ~1 MB of VMEM.
+    indexed ref (soft, bits, decision words),
+  * decisions are BIT-PACKED int32 words per (step, frame) holding the 64
+    per-state survivor choices, so the decision tape is ~2 MB of VMEM.
 
-Gather-free: parent metrics via sublane repeat-reshape, branch metrics from
-a (64, 1) expected-bit table input, traceback via per-lane shift/mask of the
-packed words.
+Gather-free: ancestor metrics via sublane repeat-reshape, branch metrics
+from (64, 1) expected-bit table inputs, traceback via per-lane shift/mask
+of the packed words.
+
+Two ACS formulations (RADIX):
+  * radix-2: one trellis step per recurrence iteration (_viterbi_kernel),
+  * radix-4 (default): two steps fused into one 4-way compare
+    (_viterbi_kernel_r4) — 536 serial iterations instead of 1072 at ~1.5x
+    the vector work each, measured -38% on v5e.  Exactness argument and
+    tie-order proof in the kernel docstring; an independent plain-XLA
+    implementation of the same fusion (rx/viterbi.py viterbi_decode_r4)
+    cross-validates it in tests.
 """
 
 from __future__ import annotations

@@ -412,8 +412,7 @@ class LockedStreamDemodulator:
             # first window: host state is exact, launch directly
             out, wrap, p0w, tag = self._run_block(self._buf)
             self._pending = dict(out=out, buf=self._buf, wrap=wrap, p0w=p0w,
-                                 tag=tag, base=self._abs_base,
-                                 pred_locked=self.locked.copy())
+                                 tag=tag, base=self._abs_base)
             self._advance_window(keep_buf=True)
             return []
 
@@ -452,8 +451,7 @@ class LockedStreamDemodulator:
             launched = self._run_block(self._buf)
         out, wrap, p0w, tag = launched
         self._pending = dict(out=out, buf=self._buf, wrap=wrap, p0w=p0w,
-                             tag=tag, base=self._abs_base,
-                             pred_locked=pred_locked)
+                             tag=tag, base=self._abs_base)
         self._advance_window(keep_buf=True)
         return results
 
