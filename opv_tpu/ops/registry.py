@@ -34,8 +34,12 @@ def viterbi_batch(soft):
     """Dispatch batched Viterbi: (B, 2144) int32 -> (bits, metrics)."""
     backend = get_backend()
     if backend == "xla":
-        from opv_tpu.rx.viterbi import viterbi_decode_batch
-        bits, metrics = viterbi_decode_batch(soft)
+        # the slimmed scan (symmetric branch metrics + guard-free tail) —
+        # decision-identical to viterbi_decode_batch (the oracle, kept for
+        # tests); ~25% faster on CPU where the steady block is
+        # Viterbi-dominated
+        from opv_tpu.rx.viterbi import viterbi_decode_fast_batch
+        bits, metrics = viterbi_decode_fast_batch(soft)
         return bits, metrics
     import jax
     from opv_tpu.ops.pallas.viterbi import viterbi_pallas

@@ -94,6 +94,72 @@ def viterbi_decode(soft: jnp.ndarray):
 viterbi_decode_batch = jax.vmap(viterbi_decode)
 
 
+def viterbi_decode_fast(soft: jnp.ndarray):
+    """Slimmed XLA-scan Viterbi, decision-identical to viterbi_decode:
+    the g2 polynomial's trellis bit 5 makes the p1 branch metrics algebra
+    on the p0 ones (bm1 = a - b + soft_max, two selects instead of four),
+    and the INT_MAX reachability guard only matters for the first 8 steps
+    (every state is structurally reachable after step 6) — an unrolled
+    guarded prologue lets the 1064-step scan body drop two compare+selects
+    per step.  Same slimmings as the Pallas kernel's radix-2 form
+    (ops/pallas/viterbi.py); this is what the registry's XLA backend runs
+    (CPU fallback: the steady block there is Viterbi-dominated).
+    viterbi_decode stays untouched as the oracle.
+
+    soft: (2144,) int32 quantized soft symbols.
+    Returns (bits (1072,) uint8, path metric int32).
+    """
+    p0, p1, e1_0, e2_0, _, _ = (jnp.asarray(t) for t in _tables())
+    soft_max = jnp.int32(CONFIG.soft_max)
+    sg = soft.astype(jnp.int32).reshape(CONFIG.frame_bits, 2)
+    guard_steps = 8
+
+    def acs(metrics, sg_t, guarded):
+        a = jnp.where(e1_0 == 1, soft_max - sg_t[0], sg_t[0])
+        b = jnp.where(e2_0 == 1, soft_max - sg_t[1], sg_t[1])
+        bm0 = a + b
+        bm1 = a - b + soft_max
+        mp0 = metrics[p0]
+        mp1 = metrics[p1]
+        if guarded:
+            m0 = jnp.where(mp0 < _GUARD, mp0 + bm0, _INF)
+            m1 = jnp.where(mp1 < _GUARD, mp1 + bm1, _INF)
+        else:
+            m0 = mp0 + bm0
+            m1 = mp1 + bm1
+        dec = m1 < m0                    # False => parent p0 (ties -> p0)
+        return jnp.minimum(m0, m1), dec
+
+    metrics = jnp.full(CONFIG.num_states, _INF, dtype=jnp.int32).at[0].set(0)
+    head = []
+    for t in range(guard_steps):
+        metrics, dec = acs(metrics, sg[t], True)
+        head.append(dec)
+
+    def step(metrics, sg_t):
+        metrics, dec = acs(metrics, sg_t, False)
+        return metrics, dec
+
+    metrics, tail = jax.lax.scan(step, metrics, sg[guard_steps:])
+    decisions = jnp.concatenate([jnp.stack(head), tail])
+
+    best = jnp.argmin(metrics).astype(jnp.int32)
+    states = jnp.arange(CONFIG.num_states, dtype=jnp.int32)
+
+    def traceback(s, dec_t):
+        bit = (s & 1).astype(jnp.uint8)
+        took_p1 = jnp.any((states == s) & dec_t)
+        s_next = jnp.where(took_p1, (s >> 1) + CONFIG.num_states // 2, s >> 1)
+        return s_next, bit
+
+    _, bits = jax.lax.scan(traceback, best, decisions, reverse=True)
+    best_metric = jnp.sum(jnp.where(states == best, metrics, 0))
+    return bits, best_metric
+
+
+viterbi_decode_fast_batch = jax.vmap(viterbi_decode_fast)
+
+
 @functools.lru_cache(maxsize=None)
 def _tables_r4():
     """Radix-4 tables: expected-bit vectors indexed by the FINAL state s of

@@ -62,11 +62,13 @@ class TestViterbi:
         np.testing.assert_array_equal(np.asarray(bits), u)
 
     def test_radix4_scan_matches_reference(self):
-        """viterbi_decode_r4 (the radix-4 fusion oracle, plain XLA) is
-        decision- and metric-identical to the sequential scan, including
-        under massive metric ties (low-entropy inputs)."""
-        from opv_tpu.rx.viterbi import viterbi_decode_batch, \
-            viterbi_decode_r4_batch
+        """viterbi_decode_r4 (the radix-4 fusion oracle, plain XLA) and
+        viterbi_decode_fast (the slimmed scan the registry's XLA backend
+        runs) are decision- and metric-identical to the sequential scan,
+        including under massive metric ties (low-entropy inputs)."""
+        from opv_tpu.rx.viterbi import (viterbi_decode_batch,
+                                        viterbi_decode_fast_batch,
+                                        viterbi_decode_r4_batch)
         rng = np.random.default_rng(11)
         soft = np.concatenate([
             rng.integers(0, 256, (3, CONFIG.encoded_bits)),
@@ -74,9 +76,10 @@ class TestViterbi:
             np.full((1, CONFIG.encoded_bits), 7),
             rng.integers(0, 2, (3, CONFIG.encoded_bits))]).astype(np.int32)
         b1, m1 = viterbi_decode_batch(jnp.asarray(soft))
-        b2, m2 = viterbi_decode_r4_batch(jnp.asarray(soft))
-        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
-        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        for alt in (viterbi_decode_r4_batch, viterbi_decode_fast_batch):
+            b2, m2 = alt(jnp.asarray(soft))
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
 
 
 class TestFrameDecoder:
