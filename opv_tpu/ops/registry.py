@@ -73,6 +73,12 @@ def symbol_corr(sym_f, kern_f):
     backend = os.environ.get("OPV_CORR", "xla")
 
     def einsum(s, k):
+        if jnp.issubdtype(s.dtype, jnp.integer):
+            # int8 buffer path (rx/locked.py): exact s8 x s8 -> s32 dot
+            # (MXU-native on TPU; K=80 cannot overflow int32); the caller
+            # rescales to wire-scale f32
+            return jnp.einsum("cst,cto->cso", s, k,
+                              preferred_element_type=jnp.int32)
         # accumulate in (at least) f32 — bf16 operands are fine, bf16
         # accumulation is not; the f64 parity path keeps f64 throughout
         acc = jnp.promote_types(s.dtype, jnp.float32)

@@ -40,6 +40,13 @@ _SB = CONFIG.sync_bits
 _EB = CONFIG.encoded_bits
 _FS = CONFIG.frame_symbols
 
+#: int8 stream-buffer quantization step: wire-format int16 samples
+#: (amplitude 16383, opv-mod.cpp:271-272) map to +-127 exactly
+#: (16383/129 = 127.0); AWGN excursions past full scale soft-clip.  The
+#: soft stage rescales its integer matmul output by this, so downstream
+#: absolute thresholds (sync raw >= 5000) see wire-scale values.
+INT8_SCALE = 129.0
+
 
 def acquire_grid(raw: jnp.ndarray) -> jnp.ndarray:
     """(C, M) dense sync correlation -> (C,) sample index of the first sync.
@@ -142,7 +149,17 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
     full-stream convert-copy AND halves the stage's HBM read; int16-scale
     samples quantize at <=0.4% (FEC/sync margins are orders above).  The
     kernel build and the A+phi*B combine stay float32 (f64 on the
-    complex128 parity path) — only the big streaming operand narrows."""
+    complex128 parity path) — only the big streaming operand narrows.
+
+    int8 WINDOW ROWS (values = wire samples / INT8_SCALE) halve the HBM
+    read once more: the kernel is quantized to int8 (round(k*127)), the
+    correlation becomes an exact s8 x s8 -> s32 matmul (MXU-native), and
+    the s32 output is rescaled by INT8_SCALE/127 back to wire-scale f32
+    before the combine — so every downstream consumer (sync thresholds,
+    quantizer) sees the same value scale as the float paths.  Per-tap
+    quantization error is ~0.4%; the 40-tap coherent accumulation and the
+    3-bit soft quantizer absorb it (decoded frames match the f32 path,
+    tests/test_locked.py::TestInt8Buffer)."""
     c = samples.shape[0]
     windowed = samples.ndim == 3 and samples.shape[-1] == 2 * _SPS
     interleaved = samples.ndim == 3 and not windowed
@@ -177,7 +194,14 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
          jnp.concatenate([-ki, kr], -1)], axis=2                  # im row
     ).reshape(c, 2 * _SPS, 8)                 # (C, 80, [Are Bre Aim Bim x2])
     from opv_tpu.ops import registry
-    ab = registry.symbol_corr(sym_f, kern_f)                      # (C,ns+1,8)
+    if sym_f.dtype == jnp.int8:
+        # quantized path: exact s8 x s8 -> s32 dot, rescaled to wire-scale
+        # f32 (|kern| <= 1, so round(k*127) never overflows int8)
+        kern_q = jnp.round(kern_f * 127.0).astype(jnp.int8)
+        ab = registry.symbol_corr(sym_f, kern_q).astype(jnp.float32) \
+            * jnp.float32(INT8_SCALE / 127.0)
+    else:
+        ab = registry.symbol_corr(sym_f, kern_f)                  # (C,ns+1,8)
     a_re, b_re = ab[:, :-1, 0:2], ab[:, 1:, 2:4]
     a_im, b_im = ab[:, :-1, 4:6], ab[:, 1:, 6:8]
     phi = jnp.exp(-1j * incs * _SPS)[:, None, :]

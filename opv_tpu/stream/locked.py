@@ -100,12 +100,19 @@ class LockedStreamDemodulator:
     def __init__(self, channels: int, block_frames: int = 4,
                  dtype: str = "auto", pipeline: bool = False):
         """dtype: buffer element type for the (C, window/40, 80) window-row
-        buffer — "float32", "bfloat16", or "auto" (bfloat16 on TPU, else
-        float32).  bf16 halves buffer HBM and the steady matmul's read;
-        XLA demotes the f32 matmul to bf16 on this TPU's flag set anyway
-        (--xla_allow_excess_precision), so the numerics are what the f32
-        buffer already produced — minus a full-stream convert-copy per
-        block (see rx/locked.py _symbol_soft_batch).
+        buffer — "float32", "bfloat16", "int8", or "auto" (bfloat16 on TPU,
+        else float32).  bf16 halves buffer HBM and the steady matmul's
+        read; XLA demotes the f32 matmul to bf16 on this TPU's flag set
+        anyway (--xla_allow_excess_precision), so the numerics are what the
+        f32 buffer already produced — minus a full-stream convert-copy per
+        block (see rx/locked.py _symbol_soft_batch).  "int8" halves the
+        buffer and the soft-stage read once more (samples quantize to
+        wire/INT8_SCALE on append; the correlation runs as an exact
+        s8 x s8 -> s32 matmul rescaled to wire-scale f32) — decoded frames
+        match the float paths on clean and moderate-SNR streams
+        (test_locked.py::TestInt8Buffer); the re-acquire/retime dense paths
+        reconstruct complex from the quantized buffer, so hunting SNR drops
+        ~0.03 dB.
 
         pipeline: defer each block's host-side sync lifecycle by one block.
         Block N's program is launched BEFORE block N-1's results are
@@ -131,9 +138,22 @@ class LockedStreamDemodulator:
             dtype = ("bfloat16" if jax.default_backend() == "tpu"
                      else "float32")
         self.dtype = jnp.dtype(dtype)
+        int8 = self.dtype == jnp.int8
+        # sub-row pend carry stays at WIRE scale (int8's buffer domain is
+        # quantized; re-quantizing a quantized tail would double-divide)
+        self._wire = jnp.dtype(jnp.float32) if int8 else self.dtype
+        from opv_tpu.rx.locked import INT8_SCALE
+
+        def conv(x):                     # wire-scale pairs -> buffer domain
+            if int8:
+                q = jnp.round(x.astype(jnp.float32) * (1.0 / INT8_SCALE))
+                return jnp.clip(q, -127, 127).astype(jnp.int8)
+            return x.astype(self.dtype)
 
         def _cplx(buf):                  # (C, R, 80) rows -> (C, R*40) c64
             f = buf.astype(jnp.float32).reshape(channels, -1, 2)
+            if int8:
+                f = f * INT8_SCALE       # back to wire scale
             return jax.lax.complex(f[..., 0], f[..., 1])
 
         self._retime = jax.jit(
@@ -195,19 +215,18 @@ class LockedStreamDemodulator:
 
         sps = self.sps
 
-        def append(buf, row, x):         # x: (C, t, 2) pairs, t % 40 == 0
-            rows = x.astype(buf.dtype).reshape(channels, -1, 2 * sps)
+        def append(buf, row, x):         # x: (C, t, 2) wire-scale pairs
+            rows = conv(x).reshape(channels, -1, 2 * sps)
             return jax.lax.dynamic_update_slice(buf, rows, (0, row, 0))
 
         def append_c(buf, row, x):       # complex chunk -> rows, fused
-            xi = jnp.stack([x.real.astype(buf.dtype),
-                            x.imag.astype(buf.dtype)], axis=-1)
-            rows = xi.reshape(channels, -1, 2 * sps)
+            xi = jnp.stack([x.real, x.imag], axis=-1)
+            rows = conv(xi).reshape(channels, -1, 2 * sps)
             return jax.lax.dynamic_update_slice(buf, rows, (0, row, 0))
 
-        def pairs_c(x):                  # complex chunk -> (C, n, 2) pairs
-            return jnp.stack([x.real.astype(self.dtype),
-                              x.imag.astype(self.dtype)], axis=-1)
+        def pairs_c(x):                  # complex chunk -> wire-scale pairs
+            return jnp.stack([x.real.astype(self._wire),
+                              x.imag.astype(self._wire)], axis=-1)
 
         def slide(buf):
             adv = self.advance // sps
@@ -215,6 +234,9 @@ class LockedStreamDemodulator:
             pad = jnp.zeros((channels, adv, 2 * sps), buf.dtype)
             return jnp.concatenate([kept, pad], axis=1)
 
+        self._conv = jax.jit(conv)
+        self._int8 = int8
+        self._int8_scale = INT8_SCALE
         self._steady = jax.jit(steady)
         self._steady_x = jax.jit(steady_x)
         self._reacquire = jax.jit(reacquire)
@@ -273,7 +295,7 @@ class LockedStreamDemodulator:
                 break
         if off < n:
             tail = x[:, off:] if ilv else self._pairs_c(x[:, off:])
-            self._pend = tail.astype(self.dtype)
+            self._pend = tail.astype(self._wire)
         return out
 
     def flush(self):
@@ -285,7 +307,7 @@ class LockedStreamDemodulator:
         drained = self._resolve_pending() if self.pipeline else []
         if self._pend is not None:       # zero-pad the sub-row carry in
             p = self._pend.shape[1]
-            row = jnp.pad(self._pend.astype(self.dtype),
+            row = jnp.pad(self._pend,    # wire scale; _append quantizes
                           ((0, 0), (0, self.sps - p), (0, 0)))
             self._buf = self._append(self._buf, self._count // self.sps, row)
             self._count += p
@@ -572,12 +594,13 @@ class LockedStreamDemodulator:
                 "flush boundary (call flush() first) or use the synchronous "
                 "driver for checkpointed streams")
         # pend is stored zero-padded to one full row + its true length so
-        # the pytree structure (leaf shapes) is feed-history independent
-        pend = self._jnp.zeros((self.channels, self.sps, 2), self.dtype)
+        # the pytree structure (leaf shapes) is feed-history independent;
+        # it lives at WIRE scale (float32 for int8 buffers)
+        pend = self._jnp.zeros((self.channels, self.sps, 2), self._wire)
         pend_len = 0
         if self._pend is not None:
             pend_len = self._pend.shape[1]
-            pend = self._jnp.pad(self._pend.astype(self.dtype),
+            pend = self._jnp.pad(self._pend.astype(self._wire),
                                  ((0, 0), (0, self.sps - pend_len), (0, 0)))
         return dict(
             buf=self._buf, count=np.int64(self._count),
@@ -601,7 +624,14 @@ class LockedStreamDemodulator:
                              buf.imag.astype(jnp.float32)], -1)
         if buf.shape[-1] == 2:           # pairs -> window rows
             buf = buf.reshape(self.channels, -1, 2 * self.sps)
-        self._buf = buf.astype(self.dtype)
+        # cross-dtype adoption: int8 buffers hold wire/INT8_SCALE values,
+        # float buffers hold wire-scale values — rescale across the domains
+        if buf.dtype == jnp.int8 and not self._int8:
+            buf = buf.astype(jnp.float32) * self._int8_scale
+        if self._int8 and buf.dtype != jnp.int8:
+            self._buf = self._conv(buf)  # wire-scale floats -> quantized
+        else:
+            self._buf = buf.astype(self.dtype)
         count = int(tree["count"])
         self._pend = None
         rem = count % self.sps
@@ -610,13 +640,15 @@ class LockedStreamDemodulator:
             # partial row's samples to the pend carry (the next append
             # rewrites that row with pend + new data — identical values)
             pairs = self._buf.reshape(self.channels, -1, 2)
-            self._pend = pairs[:, count - rem:count]
+            self._pend = pairs[:, count - rem:count].astype(self._wire)
+            if self._int8:               # buffer domain -> wire scale
+                self._pend = self._pend * self._int8_scale
             count -= rem
         self._count = count
         if "pend" in tree and int(tree.get("pend_len", 0)):
             p = int(tree["pend_len"])
             assert self._pend is None    # aligned count when pend was saved
-            self._pend = jnp.asarray(tree["pend"])[:, :p].astype(self.dtype)
+            self._pend = jnp.asarray(tree["pend"])[:, :p].astype(self._wire)
         self._abs_base = int(tree["abs_base"])
         self.p0 = np.asarray(tree["p0"], np.int32)
         self.freq_offset = np.asarray(tree["freq_offset"], np.float32)

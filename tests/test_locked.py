@@ -54,6 +54,46 @@ class TestLocked:
         for c in range(2):
             np.testing.assert_array_equal(np.asarray(out["frames"])[c], frames)
 
+    def test_int8_window_buffer_matches_f32(self):
+        """int8 window rows (the quantized production buffer,
+        rx/locked.py INT8_SCALE) must decode the SAME frames as the f32
+        windowed buffer — the s8 x s8 -> s32 correlation plus wire-scale
+        rescaling keeps sync thresholds and the 3-bit soft quantizer
+        inside their margins, clean and at moderate SNR."""
+        from opv_tpu.rx.locked import INT8_SCALE, rx_locked_steady
+        frames = build_bert_frame("W5NYV", frame_num=np.arange(5))
+        enc = encode_frame(jnp.asarray(frames))
+        iq, _ = modulate_frames(enc, exact=False)
+        iq = np.concatenate([np.asarray(iq), tx_flush_zeros()])
+        s = (iq[:, 0] + 1j * iq[:, 1]).astype(np.complex64)
+        rng = np.random.default_rng(3)
+        chans = np.stack([
+            np.concatenate([np.zeros(off, np.complex64), s])[:len(s)]
+            for off in (0, 13, 37)])
+        chans[2] += (2000.0 * (rng.standard_normal(chans[2].shape)
+                               + 1j * rng.standard_normal(chans[2].shape))
+                     ).astype(np.complex64)
+
+        out = rx_locked(jnp.asarray(chans), n_frames=5)
+        p0, foff = out["p0"], out["freq_offset"]
+        n40 = (chans.shape[1] // 40) * 40
+        pairs = np.stack([chans.real, chans.imag], -1)[:, :n40]
+        win_f = jnp.asarray(pairs.reshape(3, -1, 80).astype(np.float32))
+        win_q = jnp.asarray(
+            np.clip(np.round(pairs / INT8_SCALE), -127, 127)
+            .astype(np.int8).reshape(3, -1, 80))
+        o_f = rx_locked_steady(win_f, p0, foff, n_frames=5)
+        o_q = rx_locked_steady(win_q, p0, foff, n_frames=5)
+        assert np.asarray(o_f["frame_valid"]).all()
+        np.testing.assert_array_equal(np.asarray(o_f["frames"]),
+                                      np.asarray(o_q["frames"]))
+        np.testing.assert_array_equal(np.asarray(o_f["frame_valid"]),
+                                      np.asarray(o_q["frame_valid"]))
+        # clean channels stay metric-0; sync quality unaffected at 3 d.p.
+        np.testing.assert_array_equal(np.asarray(o_q["metrics"])[:2], 0)
+        np.testing.assert_allclose(np.asarray(o_q["sync_q"]),
+                                   np.asarray(o_f["sync_q"]), atol=2e-3)
+
     def test_bad_lock_detectable(self):
         """Noise-only channels: rx_locked assumes a transmission is present
         (it's the steady-state path), so garbage can pass the sync-quality

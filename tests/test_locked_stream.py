@@ -366,6 +366,29 @@ class TestBufferDtype:
 
         ref = run("float32")
         assert len(ref) == 5
-        for variant in (run("bfloat16"), run("bfloat16", as_int16=True)):
+        for variant in (run("bfloat16"), run("bfloat16", as_int16=True),
+                        run("int8"), run("int8", as_int16=True)):
             assert [(t[0], t[1], t[4]) for t in variant] == \
                    [(t[0], t[1], t[4]) for t in ref]
+
+    def test_int8_checkpoint_cross_dtype_adoption(self, tmp_path):
+        """int8 buffers checkpoint at the quantized scale; loading into a
+        float driver (and a float checkpoint into an int8 driver) must
+        rescale across the domains and keep decoding the same frames."""
+        s, frames = _signal(8)
+        x = s[None, :]
+        combos = [("int8", "float32"), ("float32", "int8"), ("int8", "int8")]
+        for dt_a, dt_b in combos:
+            sd = LockedStreamDemodulator(1, block_frames=2, dtype=dt_a)
+            cut = 3 * SPF + 17_003            # mid-window, mid-row
+            out = list(sd.feed(x[:, :cut]))
+            save_state(str(tmp_path / "ck"), sd.state_tree())
+            sd2 = LockedStreamDemodulator(1, block_frames=2, dtype=dt_b)
+            sd2.load_state_tree(load_state(str(tmp_path / "ck"),
+                                           sd.state_tree()))
+            out += sd2.feed(x[:, cut:])
+            out += sd2.flush()
+            got = [r for r in out if r[0] == 0]
+            assert len(got) == 8, (dt_a, dt_b, len(got))
+            assert [r[1] for r in got] == [bytes(f) for f in frames], \
+                (dt_a, dt_b)

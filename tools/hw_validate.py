@@ -124,25 +124,28 @@ def main() -> int:
 
     x = synth(jnp.asarray(bits))
     jax.block_until_ready(x)
-    t0 = time.time()
-    sd = LockedStreamDemodulator(channels=C, block_frames=4, pipeline=True)
-    out = sd.feed(x) + sd.flush()
     exp = np.asarray(frames)
-    per = {}
-    for ch, fb, metric, q, pos in out:
-        per.setdefault(ch, []).append((pos, np.frombuffer(fb, np.uint8)))
-    eng_ok = all(
-        len(per.get(ch, [])) == F
-        and np.array_equal(np.stack([f for _, f in sorted(per[ch])]), exp)
-        for ch in range(C))
-    all_ok &= eng_ok
-    res["engine"] = {
-        "frames": f"{sum(len(v) for v in per.values())}/{C * F}",
-        "bit_exact": bool(eng_ok),
-        "driver": "pipelined, windowed bf16 buffer, kernel defaults",
-        "wall_s": round(time.time() - t0, 1),
-    }
-    log(f"engine: {res['engine']}")
+    for dtype in ("auto", "int8"):       # bf16 production + quantized path
+        t0 = time.time()
+        sd = LockedStreamDemodulator(channels=C, block_frames=4,
+                                     pipeline=True, dtype=dtype)
+        out = sd.feed(x) + sd.flush()
+        per = {}
+        for ch, fb, metric, q, pos in out:
+            per.setdefault(ch, []).append((pos, np.frombuffer(fb, np.uint8)))
+        eng_ok = all(
+            len(per.get(ch, [])) == F
+            and np.array_equal(np.stack([f for _, f in sorted(per[ch])]),
+                               exp)
+            for ch in range(C))
+        all_ok &= eng_ok
+        res["engine"][dtype] = {
+            "frames": f"{sum(len(v) for v in per.values())}/{C * F}",
+            "bit_exact": bool(eng_ok),
+            "driver": f"pipelined, windowed {dtype} buffer, kernel defaults",
+            "wall_s": round(time.time() - t0, 1),
+        }
+        log(f"engine[{dtype}]: {res['engine'][dtype]}")
 
     res["all_bit_exact"] = bool(all_ok)
     print(json.dumps(res))

@@ -127,6 +127,13 @@ def main() -> int:
         [s.real.astype(buf_dt), s.imag.astype(buf_dt)], -1)
         .reshape(C, -1, 2 * sps))(samples)
     jax.block_until_ready(samples_w)
+    # quantized int8 window rows (wire/INT8_SCALE): halves the soft-stage
+    # HBM read once more vs bf16; s8 x s8 -> s32 matmul path
+    from opv_tpu.rx.locked import INT8_SCALE
+    samples_w8 = jax.jit(lambda s: jnp.clip(jnp.round(
+        jnp.stack([s.real, s.imag], -1) * (1.0 / INT8_SCALE)),
+        -127, 127).astype(jnp.int8).reshape(C, -1, 2 * sps))(samples)
+    jax.block_until_ready(samples_w8)
 
     acq = rx_locked(samples, n_frames=F, estimate_cfo_flag=True)
     p0, foff = acq["p0"], acq["freq_offset"]
@@ -261,6 +268,8 @@ def main() -> int:
     res["stages_ms"]["soft_ilv_amortized"] = per * 1e3
     per = amortized(_soft_digest, samples_w, "soft_win")
     res["stages_ms"]["soft_win_amortized"] = per * 1e3
+    per = amortized(_soft_digest, samples_w8, "soft_win8")
+    res["stages_ms"]["soft_win8_amortized"] = per * 1e3
 
     def _ext_digest(sf):
         pl, q, raw = _extract_frames(sf, k0, F)
@@ -331,6 +340,14 @@ def main() -> int:
         log(f"steady[{be}] amortized (windowed {buf_dt.__name__} buffer): "
             f"{per*1e3:.2f} ms/block -> "
             f"{res[f'steady_win_{be}_amortized_msps']:.0f} MS/s")
+        out8 = jax.jit(lambda s: _locked_body(s, p0, foff, F))(samples_w8)
+        assert int(out8["n_decoded"]) == C * F     # int8 decode correctness
+        per = amortized(_steady_digest, samples_w8, f"steady_win8_{be}")
+        res[f"steady_win8_{be}_amortized_ms"] = per * 1e3
+        res[f"steady_win8_{be}_amortized_msps"] = n_total / per / 1e6
+        log(f"steady[{be}] amortized (windowed int8 buffer): "
+            f"{per*1e3:.2f} ms/block -> "
+            f"{res[f'steady_win8_{be}_amortized_msps']:.0f} MS/s")
     registry.set_backend("xla")
 
     # --- roofline accounting (v5e: ~819 GB/s HBM, ~197 bf16 TFLOP/s) ---
