@@ -19,6 +19,10 @@ Options:
             (with -s --fast) demodulate N concurrent channels; the input
             stream is sample-interleaved across channels
             (I0 Q0 I1 Q1 ... I{N-1} Q{N-1} per sample instant)
+  --buf DT  (with -s --fast) stream-buffer dtype: auto (default: bfloat16
+            on TPU, float32 elsewhere), float32, bfloat16, or int8 (fastest;
+            wire-scale quantization — use with AGC'd input, see
+            stream/locked.py)
   --device  jax platform (default cpu)
 
 Exit code 0 iff at least one frame decoded (opv-demod.cpp:1124, 1216).
@@ -42,6 +46,8 @@ def main(argv=None) -> int:
     ap.add_argument("-h", action="store_true", dest="help")
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--channels", type=int, default=1)
+    ap.add_argument("--buf", default="auto",
+                    choices=("auto", "float32", "bfloat16", "int8"))
     ap.add_argument("--device", default="cpu")
     ap.add_argument("--metrics", dest="metrics_file", default=None,
                     help="write JSON-lines metrics snapshots to FILE "
@@ -99,7 +105,8 @@ def main(argv=None) -> int:
         # pipelined: block N computes while block N-1's results are being
         # fetched/printed — output is tuple-identical to the synchronous
         # driver and the CLI never checkpoints mid-stream
-        mc = LockedStreamDemodulator(channels=nch, pipeline=True)
+        mc = LockedStreamDemodulator(channels=nch, pipeline=True,
+                                     dtype=args.buf)
         n_samples = 0
         carry = b""
         # each multichannel sample instant is nch interleaved IQ pairs

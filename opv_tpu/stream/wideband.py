@@ -34,7 +34,8 @@ from opv_tpu.stream.multichannel import MultiChannelDemodulator
 class WidebandReceiver:
     def __init__(self, k: int, block_frames: int = 4,
                  taps_per_branch: int = 12, engine: str = "locked",
-                 quantum_out: int | None = None, pipeline: bool = False):
+                 quantum_out: int | None = None, pipeline: bool = False,
+                 dtype: str = "auto"):
         import jax
         import jax.numpy as jnp
 
@@ -66,7 +67,8 @@ class WidebandReceiver:
         if engine == "locked":
             self.demod = LockedStreamDemodulator(channels=k,
                                                  block_frames=block_frames,
-                                                 pipeline=pipeline)
+                                                 pipeline=pipeline,
+                                                 dtype=dtype)
         elif engine == "fast":
             if pipeline:
                 raise ValueError("pipeline=True requires engine='locked'")

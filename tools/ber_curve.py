@@ -27,9 +27,13 @@ def main() -> int:
     ap.add_argument("--json", default=None)
     ap.add_argument("--device", default=None,
                     help="jax platform override (default: auto)")
-    ap.add_argument("--path", choices=["locked", "tracking"], default="locked",
-                    help="RX architecture: feed-forward locked grid (fast) "
-                         "or the reference-parity tracking loop (float64)")
+    ap.add_argument("--path", choices=["locked", "tracking", "locked-int8"],
+                    default="locked",
+                    help="RX architecture: feed-forward locked grid (fast), "
+                         "the reference-parity tracking loop (float64), or "
+                         "the locked grid on the int8 quantized stream "
+                         "buffer (measures the fixed-full-scale clipping "
+                         "penalty at low SNR — see stream/locked.py)")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +76,24 @@ def main() -> int:
                 if slot < args.frames:
                     got[slot] = fr
                     metrics[slot] = me
+        elif args.path == "locked-int8":
+            # mirror the int8 streaming driver exactly: acquisition runs on
+            # complex RECONSTRUCTED from the quantized buffer (stream/
+            # locked.py _cplx), the steady body on the int8 window rows
+            from opv_tpu.rx.locked import INT8_SCALE, rx_locked_steady
+            n40 = (len(noisy) // 40) * 40
+            pairs = np.stack([noisy.real, noisy.imag], -1)[:n40]
+            q8 = np.clip(np.round(pairs / INT8_SCALE), -127, 127) \
+                .astype(np.int8)
+            deq = ((q8[:, 0].astype(np.float32)
+                    + 1j * q8[:, 1].astype(np.float32)) * INT8_SCALE) \
+                .astype(np.complex64)
+            acq = rx_locked(jnp.asarray(deq)[None, :], n_frames=args.frames)
+            out = rx_locked_steady(jnp.asarray(q8.reshape(1, -1, 80)),
+                                   acq["p0"], acq["freq_offset"],
+                                   n_frames=args.frames)
+            got = np.asarray(out["frames"])[0]
+            metrics = np.asarray(out["metrics"])[0]
         else:
             out = rx_locked(jnp.asarray(noisy.astype(np.complex64))[None, :],
                             n_frames=args.frames)
