@@ -14,8 +14,9 @@ from opv_tpu.stream.wideband import WidebandReceiver  # noqa: E402
 
 
 class TestWidebandReceiver:
-    @pytest.mark.parametrize("pipeline", [False, True])
-    def test_streaming_decode(self, pipeline):
+    @pytest.mark.parametrize("pipeline,dtype", [
+        (False, "auto"), (True, "auto"), (False, "int8")])
+    def test_streaming_decode(self, pipeline, dtype):
         k = 4
         sets = {0: build_bert_frame("W5NYV", frame_num=np.arange(6)),
                 2: build_bert_frame("TEST", frame_num=np.arange(6))}
@@ -29,7 +30,8 @@ class TestWidebandReceiver:
         n = max(map(len, wb.values()))
         x = synthesize_wideband(wb, k, n)
 
-        rx = WidebandReceiver(k, block_frames=3, pipeline=pipeline)
+        rx = WidebandReceiver(k, block_frames=3, pipeline=pipeline,
+                              dtype=dtype)
         res = []
         rng = np.random.default_rng(0)
         off = 0
