@@ -305,7 +305,8 @@ class TestPipelined:
 
 
 class TestDriftRefresh:
-    def test_clock_drift_proactive_refresh(self):
+    @pytest.mark.parametrize("dtype", ["float32", "int8"])
+    def test_clock_drift_proactive_refresh(self, dtype):
         """A ppm-scale sample-clock drift decays sync quality; the driver's
         proactive refresh (re-hunt while the signal still passes hunting
         thresholds) walks p0 along the drifting grid with zero frame loss —
@@ -319,7 +320,9 @@ class TestDriftRefresh:
         drifted = (np.interp(t, base, s.real)
                    + 1j * np.interp(t, base, s.imag)).astype(np.complex64)
 
-        sd = LockedStreamDemodulator(1, block_frames=4)
+        # int8 covers the retime/re-acquire paths' complex
+        # reconstruction from the quantized buffer (_cplx rescale)
+        sd = LockedStreamDemodulator(1, block_frames=4, dtype=dtype)
         res = _run(sd, drifted[None, :])
 
         # total sync slip is ~55 samples — far beyond the ~15-sample
