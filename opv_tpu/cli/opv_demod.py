@@ -19,10 +19,10 @@ Options:
             (with -s --fast) demodulate N concurrent channels; the input
             stream is sample-interleaved across channels
             (I0 Q0 I1 Q1 ... I{N-1} Q{N-1} per sample instant)
-  --buf DT  (with -s --fast) stream-buffer dtype: auto (default: bfloat16
-            on TPU, float32 elsewhere), float32, bfloat16, or int8 (fastest;
-            wire-scale quantization — use with AGC'd input, see
-            stream/locked.py)
+  --buf DT  (with -s --fast) stream-buffer dtype: auto (default: int8 on
+            TPU, float32 elsewhere), float32, bfloat16, or int8 (fastest;
+            the quantization step follows the input level per channel —
+            AGC, see stream/locked.py _agc_update)
   --device  jax platform (default cpu)
 
 Exit code 0 iff at least one frame decoded (opv-demod.cpp:1124, 1216).

@@ -110,7 +110,7 @@ def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray):
 
 
 def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
-                       nsym: int) -> jnp.ndarray:
+                       nsym: int, scale=None) -> jnp.ndarray:
     """Symbol-grid tone correlation at per-channel phase r — NO dynamic
     slicing at all.
 
@@ -159,7 +159,13 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
     quantizer) sees the same value scale as the float paths.  Per-tap
     quantization error is ~0.4%; the 40-tap coherent accumulation and the
     3-bit soft quantizer absorb it (decoded frames match the f32 path,
-    tests/test_locked.py::TestInt8Buffer)."""
+    tests/test_locked.py::TestInt8Buffer).
+
+    `scale` (int8 buffers only): per-channel (C,) float32 wire units per
+    int8 step.  None means the fixed wire-full-scale INT8_SCALE; streaming
+    drivers with AGC (stream/locked.py) pass their adapted per-channel
+    scale so deep-low-SNR noise excursions are not soft-clipped by the
+    fixed full-scale step."""
     c = samples.shape[0]
     windowed = samples.ndim == 3 and samples.shape[-1] == 2 * _SPS
     interleaved = samples.ndim == 3 and not windowed
@@ -198,8 +204,11 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
         # quantized path: exact s8 x s8 -> s32 dot, rescaled to wire-scale
         # f32 (|kern| <= 1, so round(k*127) never overflows int8)
         kern_q = jnp.round(kern_f * 127.0).astype(jnp.int8)
-        ab = registry.symbol_corr(sym_f, kern_q).astype(jnp.float32) \
-            * jnp.float32(INT8_SCALE / 127.0)
+        if scale is None:
+            resc = jnp.float32(INT8_SCALE / 127.0)
+        else:
+            resc = (scale.astype(jnp.float32) / 127.0)[:, None, None]
+        ab = registry.symbol_corr(sym_f, kern_q).astype(jnp.float32) * resc
     else:
         ab = registry.symbol_corr(sym_f, kern_f)                  # (C,ns+1,8)
     a_re, b_re = ab[:, :-1, 0:2], ab[:, 1:, 2:4]
@@ -214,7 +223,7 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
 def rx_locked_steady(samples: jnp.ndarray, p0: jnp.ndarray,
-                     freq_offset: jnp.ndarray, n_frames: int):
+                     freq_offset: jnp.ndarray, n_frames: int, scale=None):
     """Steady-state hot loop: grid already acquired (p0 known), CFO known.
 
     This is the per-block production path: blocks that advance by an exact
@@ -226,8 +235,9 @@ def rx_locked_steady(samples: jnp.ndarray, p0: jnp.ndarray,
     production form stream/locked.py feeds).  Lock loss shows up
     as sync_q collapsing; stream.locked.LockedStreamDemodulator watches the
     per-frame q and drives rx_locked_reacquire for the channels that lost it.
+    `scale`: per-channel int8 quantization step (see _symbol_soft_batch).
     """
-    return _locked_body(samples, p0, freq_offset, n_frames)
+    return _locked_body(samples, p0, freq_offset, n_frames, scale)
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
@@ -359,7 +369,7 @@ def _extract_frames(soft: jnp.ndarray, k0: jnp.ndarray, n_frames: int):
     return payloads, q, raw
 
 
-def _locked_body(samples, p0, freq_offset, n_frames: int):
+def _locked_body(samples, p0, freq_offset, n_frames: int, scale=None):
     c = samples.shape[0]
     if samples.ndim == 3 and samples.shape[-1] == 2 * _SPS:
         n = samples.shape[1] * _SPS       # windowed (C, M, 80) rows
@@ -369,7 +379,7 @@ def _locked_body(samples, p0, freq_offset, n_frames: int):
     r = p0 % _SPS
     k0 = (p0 - r) // _SPS                 # symbol index of the sync start
     nsym = (n - _SPS) // _SPS
-    soft = _symbol_soft_batch(samples, r, freq_offset, nsym)   # (C, nsym)
+    soft = _symbol_soft_batch(samples, r, freq_offset, nsym, scale)  # (C,ns)
 
     payloads, q, raw = _extract_frames(soft, k0, n_frames)
 

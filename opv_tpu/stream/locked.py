@@ -39,10 +39,11 @@ framework's answer to keeping an accelerator busy from a host-side
 state machine.
 
 The buffer holds (C, window/40, 80) WINDOW ROWS — row s is samples
-[40s, 40s+40) as 80 interleaved I/Q floats, float32 or bfloat16 on TPU
-(the default there: XLA demotes the f32 correlation matmul to bf16 anyway,
-so a bf16 buffer skips a full-stream convert-copy per block and halves
-both buffer HBM and the steady matmul's read).  This is the steady body's
+[40s, 40s+40) as 80 interleaved I/Q values: float32 on CPU, int8 on TPU
+(the default there: the correlation runs as an exact s8 x s8 -> s32
+matmul with the step adapted per channel by AGC — halves the soft stage's
+HBM read vs bf16 at float-identical decoded frames, BER_r02.json), with
+bfloat16/float32 selectable.  This is the steady body's
 matmul operand shape DIRECTLY (rx/locked.py _symbol_soft_batch), so the
 hot path reads the buffer with zero relayout: a (C, N, 2) pairs buffer is
 byte-identical in row-major order but TPU tiles the last two dims, so its
@@ -97,22 +98,50 @@ class LockedStreamDemodulator:
     REFRESH_METRIC_MIN = 400
     _EMA_ALPHA = 0.1
 
+    #: int8 AGC: re-evaluate the per-channel quantization scale every this
+    #: many resolved blocks (one tiny stats fetch each time; per-block
+    #: fetches would double the tunnel-RTT cost of the streaming loop)
+    _AGC_BLOCKS = 8
+    #: target step: clip at ~3.5 sigma of the input (Gaussian clip rate
+    #: ~0.05%) unless the true peak is smaller (clean constant-envelope
+    #: signals: peak < 1.5 sigma, so the step follows the peak exactly and
+    #: a wire-full-scale signal reproduces the fixed INT8_SCALE = 16383/127)
+    _AGC_SIGMA = 3.5
+    #: adoption hysteresis: only re-quantize when the desired step moved
+    #: outside [1/1.4, 1.4]x the current one (steady streams never rescale)
+    _AGC_BAND = 1.4
+
     def __init__(self, channels: int, block_frames: int = 4,
-                 dtype: str = "auto", pipeline: bool = False):
+                 dtype: str = "auto", pipeline: bool = False,
+                 agc: bool = True):
         """dtype: buffer element type for the (C, window/40, 80) window-row
-        buffer — "float32", "bfloat16", "int8", or "auto" (bfloat16 on TPU,
+        buffer — "float32", "bfloat16", "int8", or "auto" (int8 on TPU,
         else float32).  bf16 halves buffer HBM and the steady matmul's
         read; XLA demotes the f32 matmul to bf16 on this TPU's flag set
         anyway (--xla_allow_excess_precision), so the numerics are what the
         f32 buffer already produced — minus a full-stream convert-copy per
         block (see rx/locked.py _symbol_soft_batch).  "int8" halves the
         buffer and the soft-stage read once more (samples quantize to
-        wire/INT8_SCALE on append; the correlation runs as an exact
+        wire/scale on append; the correlation runs as an exact
         s8 x s8 -> s32 matmul rescaled to wire-scale f32) — decoded frames
         match the float paths on clean and moderate-SNR streams
         (test_locked.py::TestInt8Buffer); the re-acquire/retime dense paths
         reconstruct complex from the quantized buffer, so hunting SNR drops
         ~0.03 dB.
+
+        agc (int8 buffers only): adapt the quantization step per channel to
+        the measured input level — step = min(peak, 3.5 x rms) / 127,
+        re-evaluated every _AGC_BLOCKS blocks from feed-time statistics
+        (plus once, synchronously, on the first feed so the initial window
+        is quantized at the right step).  Without it the fixed wire-full-
+        scale step soft-clips AWGN excursions on deep-low-SNR streams
+        (~1.5 dB at the FEC waterfall, BER_r02.json) and throws away 5-6
+        bits of resolution on weak (far-below-full-scale) inputs.  A
+        wire-full-scale clean signal adopts exactly the fixed INT8_SCALE
+        step, so AGC leaves full-scale captures bit-identical.  Scale
+        changes re-quantize the buffered window in place (round(buf x
+        old/new)); the hysteresis band keeps steady streams from ever
+        rescaling.
 
         pipeline: defer each block's host-side sync lifecycle by one block.
         Block N's program is launched BEFORE block N-1's results are
@@ -135,7 +164,12 @@ class LockedStreamDemodulator:
                                        rx_locked_steady)
 
         if dtype == "auto":
-            dtype = ("bfloat16" if jax.default_backend() == "tpu"
+            # TPU production default: int8 + AGC.  Same decoded frames as
+            # the float paths across the measured Eb/N0 range now that the
+            # AGC step tracks the input level (BER_r02.json
+            # locked_int8_agc vs locked), and the steady block is ~18%
+            # faster (the soft stage's HBM read halves vs bf16 — PERF.md).
+            dtype = ("int8" if jax.default_backend() == "tpu"
                      else "float32")
         self.dtype = jnp.dtype(dtype)
         int8 = self.dtype == jnp.int8
@@ -144,20 +178,21 @@ class LockedStreamDemodulator:
         self._wire = jnp.dtype(jnp.float32) if int8 else self.dtype
         from opv_tpu.rx.locked import INT8_SCALE
 
-        def conv(x):                     # wire-scale pairs -> buffer domain
+        def conv(x, scale):              # wire-scale pairs -> buffer domain
             if int8:
-                q = jnp.round(x.astype(jnp.float32) * (1.0 / INT8_SCALE))
+                q = jnp.round(x.astype(jnp.float32)
+                              / scale[:, None, None])
                 return jnp.clip(q, -127, 127).astype(jnp.int8)
             return x.astype(self.dtype)
 
-        def _cplx(buf):                  # (C, R, 80) rows -> (C, R*40) c64
+        def _cplx(buf, scale):           # (C, R, 80) rows -> (C, R*40) c64
             f = buf.astype(jnp.float32).reshape(channels, -1, 2)
             if int8:
-                f = f * INT8_SCALE       # back to wire scale
+                f = f * scale[:, None, None]   # back to wire scale
             return jax.lax.complex(f[..., 0], f[..., 1])
 
         self._retime = jax.jit(
-            lambda b, p, f: rx_locked_retime(_cplx(b), p, f))
+            lambda b, p, f, sc: rx_locked_retime(_cplx(b, sc), p, f))
 
         self.channels = channels
         self.block_frames = block_frames
@@ -199,30 +234,48 @@ class LockedStreamDemodulator:
 
         bf = block_frames
 
-        def steady(buf, p0, foff):
-            return rx_locked_steady(buf, p0, foff, n_frames=bf)
+        def steady(buf, p0, foff, scale):
+            return rx_locked_steady(buf, p0, foff, n_frames=bf,
+                                    scale=scale if int8 else None)
 
-        def steady_x(buf, p0, foff):
+        def steady_x(buf, p0, foff, scale):
             # one extra slot: used on drift-wrap blocks, where a channel's
             # grid steps back across the window start and the straddling
             # frame (still fully inside this window's overlap) must be
             # emitted before the grid advances a frame (see _process)
-            return rx_locked_steady(buf, p0, foff, n_frames=bf + 1)
+            return rx_locked_steady(buf, p0, foff, n_frames=bf + 1,
+                                    scale=scale if int8 else None)
 
-        def reacquire(buf, p0, foff, keep):
-            return rx_locked_reacquire(_cplx(buf), p0, foff, keep,
+        def reacquire(buf, p0, foff, keep, scale):
+            return rx_locked_reacquire(_cplx(buf, scale), p0, foff, keep,
                                        n_frames=bf)
 
         sps = self.sps
 
-        def append(buf, row, x):         # x: (C, t, 2) wire-scale pairs
-            rows = conv(x).reshape(channels, -1, 2 * sps)
+        def append(buf, row, x, scale):  # x: (C, t, 2) wire-scale pairs
+            rows = conv(x, scale).reshape(channels, -1, 2 * sps)
             return jax.lax.dynamic_update_slice(buf, rows, (0, row, 0))
 
-        def append_c(buf, row, x):       # complex chunk -> rows, fused
+        def append_c(buf, row, x, scale):  # complex chunk -> rows, fused
             xi = jnp.stack([x.real, x.imag], axis=-1)
-            rows = conv(xi).reshape(channels, -1, 2 * sps)
+            rows = conv(xi, scale).reshape(channels, -1, 2 * sps)
             return jax.lax.dynamic_update_slice(buf, rows, (0, row, 0))
+
+        def stat_p(ss, mx, x):           # AGC stats: (C, t, 2) pairs
+            xf = x.astype(jnp.float32)
+            return (ss + (xf * xf).sum(axis=(1, 2)),
+                    jnp.maximum(mx, jnp.abs(xf).max(axis=(1, 2))))
+
+        def stat_c(ss, mx, x):           # AGC stats: (C, t) complex
+            r = x.real.astype(jnp.float32)
+            i = x.imag.astype(jnp.float32)
+            return (ss + (r * r + i * i).sum(axis=1),
+                    jnp.maximum(mx, jnp.maximum(jnp.abs(r).max(axis=1),
+                                                jnp.abs(i).max(axis=1))))
+
+        def requant(buf, factor):        # int8 step change: old/new ratio
+            q = jnp.round(buf.astype(jnp.float32) * factor[:, None, None])
+            return jnp.clip(q, -127, 127).astype(jnp.int8)
 
         def pairs_c(x):                  # complex chunk -> wire-scale pairs
             return jnp.stack([x.real.astype(self._wire),
@@ -247,6 +300,23 @@ class LockedStreamDemodulator:
         # pipelined mode keeps the in-flight block's window alive for a
         # possible relaunch, so its slide cannot donate the input
         self._slide_copy = jax.jit(slide)
+
+        # int8 AGC state: per-channel quantization step (wire units per
+        # int8 LSB, device + host mirror) and feed-time level statistics
+        # (device-resident; fetched only at AGC cadence).  Non-int8 buffers
+        # carry the dummy scale operand through the jitted closures (traced
+        # but unused -> dropped by XLA).
+        self._agc = bool(agc) and int8
+        self._scale_np = np.full(channels, INT8_SCALE, np.float32)
+        self._scale = jnp.asarray(self._scale_np)
+        self._stat_p = jax.jit(stat_p)
+        self._stat_c = jax.jit(stat_c)
+        self._requant = jax.jit(requant)
+        self._stat_ss = jnp.asarray(np.zeros(channels, np.float32))
+        self._stat_max = jnp.asarray(np.zeros(channels, np.float32))
+        self._stat_cnt = 0               # components accumulated (host)
+        self._blocks = 0                 # resolved blocks (AGC cadence)
+        self._agc_primed = not self._agc
 
         self.pipeline = bool(pipeline)
         self._pending = None            # in-flight block (pipeline mode)
@@ -275,6 +345,21 @@ class LockedStreamDemodulator:
                 x = x.astype(self._pend.dtype)
             x = jnp.concatenate([self._pend, x], axis=1)
             self._pend = None
+        if self._agc and x.shape[1]:
+            # accumulate per-channel level stats on device (the sub-row
+            # tail is counted on the feed it arrives — the <40-sample
+            # re-count when it is prepended above is noise at AGC scale)
+            acc = self._stat_p if ilv else self._stat_c
+            self._stat_ss, self._stat_max = acc(self._stat_ss,
+                                                self._stat_max, x)
+            self._stat_cnt += 2 * x.shape[1]
+            if not self._agc_primed:
+                # first feed: adopt the measured step BEFORE quantizing
+                # anything (one synchronous tiny fetch at stream start) —
+                # a deep-low-SNR or weak stream must not write its first
+                # window at the wrong step
+                self._agc_primed = True
+                self._agc_update(force=True)
         append = self._append if ilv else self._append_c
         out = []
         off = 0
@@ -286,7 +371,7 @@ class LockedStreamDemodulator:
                 take -= take % self.sps             # sub-row tail pends
             if take:
                 self._buf = append(self._buf, self._count // self.sps,
-                                   x[:, off:off + take])
+                                   x[:, off:off + take], self._scale)
                 self._count += take
                 off += take
             if self._count >= self.window:
@@ -309,7 +394,8 @@ class LockedStreamDemodulator:
             p = self._pend.shape[1]
             row = jnp.pad(self._pend,    # wire scale; _append quantizes
                           ((0, 0), (0, self.sps - p), (0, 0)))
-            self._buf = self._append(self._buf, self._count // self.sps, row)
+            self._buf = self._append(self._buf, self._count // self.sps,
+                                     row, self._scale)
             self._count += p
             self._pend = None
         min_n = self.spf + CONFIG.samples_per_symbol
@@ -348,7 +434,8 @@ class LockedStreamDemodulator:
         retune = self.refresh & self.locked
         if retune.any():
             delta = np.asarray(self._retime(buf, jnp.asarray(self.p0),
-                                            jnp.asarray(self.freq_offset)))
+                                            jnp.asarray(self.freq_offset),
+                                            self._scale))
             delta = np.where(retune, delta, 0).astype(np.int32)
             p0n = self.p0 + delta
             # p0n < 0: the drifted grid steps back across the window start.
@@ -370,7 +457,7 @@ class LockedStreamDemodulator:
         if self.locked.all():
             run = self._steady_x if wrap.any() else self._steady
             out = run(buf, jnp.asarray(self.p0),
-                      jnp.asarray(self.freq_offset))
+                      jnp.asarray(self.freq_offset), self._scale)
             tag = "steady"
         else:
             # mixed lock states never use the extra-slot program; a wrap
@@ -378,7 +465,7 @@ class LockedStreamDemodulator:
             # straddler (rare corner; the grid still corrects)
             out = self._reacquire(buf, jnp.asarray(self.p0),
                                   jnp.asarray(self.freq_offset),
-                                  jnp.asarray(self.locked))
+                                  jnp.asarray(self.locked), self._scale)
             tag = "reacquire"
         return out, wrap, p0_wrapped, tag
 
@@ -404,10 +491,19 @@ class LockedStreamDemodulator:
             self.reacquisitions += 1
             out2 = self._reacquire(buf, jnp.asarray(self.p0),
                                    jnp.asarray(self.freq_offset),
-                                   jnp.asarray(~dropped))
+                                   jnp.asarray(~dropped), self._scale)
             results.extend(self._emit(out2, valid_limit, only=dropped,
                                       min_pos=self._dropped_at, base=base))
         self.refresh = self._want_refresh & self.locked
+        self._blocks += 1
+        # AGC cadence — plus every unlocked block: lock loss often IS a
+        # level change (burst onset on a quiet channel, fade), and the
+        # re-hunt only succeeds once the window is quantized at the new
+        # step; the extra tiny stats fetch is nothing next to the dense
+        # re-acquire the block already paid for
+        if self._agc and (self._blocks % self._AGC_BLOCKS == 0
+                          or not self.locked.all()):
+            self._agc_update()
         return results
 
     def _advance_window(self, keep_buf: bool = False):
@@ -421,6 +517,38 @@ class LockedStreamDemodulator:
         # continuous — exactly the locked-mode assumption; a gap breaks
         # sync_q and triggers re-acquisition anyway)
         self.p0 = self.p0 % self.spf
+
+    def _agc_update(self, force: bool = False):
+        """Re-evaluate the int8 quantization step from the accumulated
+        feed-level statistics (one tiny fetch); adopt per channel where the
+        desired step moved outside the hysteresis band, re-quantizing the
+        buffered window so past and future rows share one step.  force=True
+        (first feed) adopts any change — the initial window must be written
+        at the measured step, not the wire-full-scale default."""
+        if not self._agc or self._stat_cnt == 0:
+            return
+        ss = np.asarray(self._stat_ss)
+        mx = np.asarray(self._stat_max)
+        rms = np.sqrt(ss / self._stat_cnt)
+        desired = np.minimum(mx, self._AGC_SIGMA * rms) * (1.0 / 127.0)
+        desired = np.maximum(desired, 1e-6).astype(np.float32)  # silence
+        ratio = desired / self._scale_np
+        adopt = (ratio > self._AGC_BAND) | (ratio < 1.0 / self._AGC_BAND)
+        if force:
+            adopt = adopt | (ratio != 1.0)
+        if adopt.any():
+            new = np.where(adopt, desired, self._scale_np).astype(np.float32)
+            if self._count:              # re-quantize the buffered window
+                factor = (self._scale_np / new).astype(np.float32)
+                self._buf = self._requant(self._buf,
+                                          self._jnp.asarray(factor))
+            self._scale_np = new
+            self._scale = self._jnp.asarray(new)
+        self._stat_ss = self._jnp.asarray(np.zeros(self.channels,
+                                                   np.float32))
+        self._stat_max = self._jnp.asarray(np.zeros(self.channels,
+                                                    np.float32))
+        self._stat_cnt = 0
 
     def _process_pipelined(self):
         """One full window in pipeline mode: launch this block with the
@@ -453,12 +581,12 @@ class LockedStreamDemodulator:
             p0_dev = p0_dev % self.spf
             foff_dev = prev["out"]["freq_offset"]
             if pred_locked.all():
-                o = self._steady(self._buf, p0_dev, foff_dev)
+                o = self._steady(self._buf, p0_dev, foff_dev, self._scale)
                 launched = (o, np.zeros(self.channels, bool), self.p0,
                             "steady")
             else:
                 o = self._reacquire(self._buf, p0_dev, foff_dev,
-                                    jnp.asarray(pred_locked))
+                                    jnp.asarray(pred_locked), self._scale)
                 launched = (o, np.zeros(self.channels, bool), self.p0,
                             "reacquire")
         # resolve the previous block (fetch overlaps the launched compute)
@@ -609,6 +737,7 @@ class LockedStreamDemodulator:
             p0=self.p0, freq_offset=self.freq_offset,
             locked=self.locked, miss=self.miss, refresh=self.refresh,
             metric_ema=self.metric_ema,
+            scale=self._scale_np.copy(),
             decoded=np.int64(self.decoded), perfect=np.int64(self.perfect),
         )
 
@@ -619,17 +748,28 @@ class LockedStreamDemodulator:
         (pre-wire-form checkpoints)."""
         jnp = self._jnp
         buf = jnp.asarray(tree["buf"])
+        # the checkpoint's quantization step (per channel); pre-AGC
+        # checkpoints carry no scale field — their int8 buffers are at the
+        # fixed wire-full-scale step
+        tree_scale = np.asarray(
+            tree.get("scale", np.full(self.channels, self._int8_scale)),
+            np.float32)
         if buf.ndim == 2:
             buf = jnp.stack([buf.real.astype(jnp.float32),
                              buf.imag.astype(jnp.float32)], -1)
         if buf.shape[-1] == 2:           # pairs -> window rows
             buf = buf.reshape(self.channels, -1, 2 * self.sps)
-        # cross-dtype adoption: int8 buffers hold wire/INT8_SCALE values,
-        # float buffers hold wire-scale values — rescale across the domains
+        # cross-dtype adoption: int8 buffers hold wire/scale values, float
+        # buffers hold wire-scale values — rescale across the domains
         if buf.dtype == jnp.int8 and not self._int8:
-            buf = buf.astype(jnp.float32) * self._int8_scale
+            buf = buf.astype(jnp.float32) * jnp.asarray(tree_scale)[:, None,
+                                                                    None]
+        if self._int8:
+            self._scale_np = tree_scale.copy()
+            self._scale = jnp.asarray(self._scale_np)
         if self._int8 and buf.dtype != jnp.int8:
-            self._buf = self._conv(buf)  # wire-scale floats -> quantized
+            # wire-scale floats -> quantized at the adopted step
+            self._buf = self._conv(buf, self._scale)
         else:
             self._buf = buf.astype(self.dtype)
         count = int(tree["count"])
@@ -642,7 +782,7 @@ class LockedStreamDemodulator:
             pairs = self._buf.reshape(self.channels, -1, 2)
             self._pend = pairs[:, count - rem:count].astype(self._wire)
             if self._int8:               # buffer domain -> wire scale
-                self._pend = self._pend * self._int8_scale
+                self._pend = self._pend * self._scale[:, None, None]
             count -= rem
         self._count = count
         if "pend" in tree and int(tree.get("pend_len", 0)):
@@ -660,3 +800,10 @@ class LockedStreamDemodulator:
             self.metric_ema = np.asarray(tree["metric_ema"], np.float64)
         self.decoded = int(tree["decoded"])
         self.perfect = int(tree["perfect"])
+        # the restored scale is authoritative; don't re-prime off the next
+        # feed chunk, and start its stats window fresh
+        if self._agc:
+            self._agc_primed = True
+            self._stat_ss = jnp.asarray(np.zeros(self.channels, np.float32))
+            self._stat_max = jnp.asarray(np.zeros(self.channels, np.float32))
+            self._stat_cnt = 0

@@ -27,13 +27,17 @@ def main() -> int:
     ap.add_argument("--json", default=None)
     ap.add_argument("--device", default=None,
                     help="jax platform override (default: auto)")
-    ap.add_argument("--path", choices=["locked", "tracking", "locked-int8"],
+    ap.add_argument("--path", choices=["locked", "tracking", "locked-int8",
+                                       "locked-int8-agc"],
                     default="locked",
                     help="RX architecture: feed-forward locked grid (fast), "
-                         "the reference-parity tracking loop (float64), or "
-                         "the locked grid on the int8 quantized stream "
-                         "buffer (measures the fixed-full-scale clipping "
-                         "penalty at low SNR — see stream/locked.py)")
+                         "the reference-parity tracking loop (float64), the "
+                         "locked grid on the int8 quantized stream buffer "
+                         "at the fixed wire-full-scale step (measures the "
+                         "clipping penalty at low SNR), or the same with "
+                         "the AGC step min(peak, 3.5 x rms)/127 that the "
+                         "streaming driver adopts (stream/locked.py "
+                         "_agc_update) — the production int8 behavior")
     args = ap.parse_args()
 
     import jax
@@ -76,22 +80,30 @@ def main() -> int:
                 if slot < args.frames:
                     got[slot] = fr
                     metrics[slot] = me
-        elif args.path == "locked-int8":
+        elif args.path in ("locked-int8", "locked-int8-agc"):
             # mirror the int8 streaming driver exactly: acquisition runs on
             # complex RECONSTRUCTED from the quantized buffer (stream/
             # locked.py _cplx), the steady body on the int8 window rows
             from opv_tpu.rx.locked import INT8_SCALE, rx_locked_steady
             n40 = (len(noisy) // 40) * 40
             pairs = np.stack([noisy.real, noisy.imag], -1)[:n40]
-            q8 = np.clip(np.round(pairs / INT8_SCALE), -127, 127) \
+            if args.path == "locked-int8-agc":
+                # the streaming driver's adopted step (_agc_update):
+                # clip at 3.5 sigma unless the true peak is smaller
+                scale = min(np.abs(pairs).max(),
+                            3.5 * np.sqrt(np.mean(pairs ** 2))) / 127.0
+                scale_arg = jnp.asarray([scale], jnp.float32)
+            else:
+                scale, scale_arg = INT8_SCALE, None
+            q8 = np.clip(np.round(pairs / scale), -127, 127) \
                 .astype(np.int8)
             deq = ((q8[:, 0].astype(np.float32)
-                    + 1j * q8[:, 1].astype(np.float32)) * INT8_SCALE) \
+                    + 1j * q8[:, 1].astype(np.float32)) * scale) \
                 .astype(np.complex64)
             acq = rx_locked(jnp.asarray(deq)[None, :], n_frames=args.frames)
             out = rx_locked_steady(jnp.asarray(q8.reshape(1, -1, 80)),
                                    acq["p0"], acq["freq_offset"],
-                                   n_frames=args.frames)
+                                   n_frames=args.frames, scale=scale_arg)
             got = np.asarray(out["frames"])[0]
             metrics = np.asarray(out["metrics"])[0]
         else:
