@@ -7,10 +7,10 @@ kernel variant must also be validated on the real chip: CLAUDE.md).
 Checks, all on-device with scalar-only fetches:
   1. Pallas Viterbi vs the XLA-scan oracle: every supported (radix, unroll,
      pack) combo, random + low-entropy tie-stress inputs, bits AND metrics.
-  2. LockedStreamDemodulator (pipelined, windowed bf16 buffer, radix-4
-     kernel default) end-to-end: on-device synthesized multichannel BERT
-     stream -> decoded frames compared byte-for-byte to the transmitted
-     payloads.
+  2. LockedStreamDemodulator (pipelined, windowed buffer — "auto" = the
+     int8+AGC production default, plus the bf16 fallback; radix-4 kernel
+     default) end-to-end: on-device synthesized multichannel BERT stream
+     -> decoded frames compared byte-for-byte to the transmitted payloads.
 
 Prints ONE JSON object on stdout (artifact: HWVALIDATE_r*.json); progress
 to stderr.  Exit 0 = everything bit-exact.
@@ -125,7 +125,9 @@ def main() -> int:
     x = synth(jnp.asarray(bits))
     jax.block_until_ready(x)
     exp = np.asarray(frames)
-    for dtype in ("auto", "int8"):       # bf16 production + quantized path
+    # "auto" = the int8+AGC production default on TPU; bf16 is the float
+    # fallback path
+    for dtype in ("auto", "bfloat16"):
         t0 = time.time()
         sd = LockedStreamDemodulator(channels=C, block_frames=4,
                                      pipeline=True, dtype=dtype)
