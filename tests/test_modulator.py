@@ -107,3 +107,34 @@ class TestGoldenIQ:
             iq, st = modulate_frames(enc[i:i + 1], state=st, exact=True)
             parts.append(np.asarray(iq))
         np.testing.assert_array_equal(np.concatenate(parts), np.asarray(whole))
+
+
+class TestWireWords:
+    """modulate_bits_wire: the packed-int32 production TX form (its LE bytes
+    ARE the reference's interleaved int16 I,Q wire stream — the (N, 2) API
+    view is a bitcast of the same words, see PERF.md TX section)."""
+
+    def test_wire_bytes_equal_interleaved_view(self):
+        from opv_tpu.core.framing import frame_to_symbol_bits
+        from opv_tpu.tx import modulate_bits_wire
+        frames = build_bert_frame("W5NYV", frame_num=np.arange(2))
+        enc = encode_frame(jnp.asarray(frames))
+        bits = frame_to_symbol_bits(enc).reshape(-1).astype(jnp.int32)
+        wire, st_w = modulate_bits_wire(bits, mod_reset())
+        iq, st_f = modulate_frames(enc, exact=False)
+        assert np.asarray(wire).tobytes() == np.asarray(iq).tobytes()
+        assert int(st_w.n160) == int(st_f.n160)
+
+    def test_wire_state_continuity_odd_lengths(self):
+        # odd (non-multiple-of-4-symbol) calls pad rows internally but must
+        # carry n160/t/b state exactly as one whole call would
+        from opv_tpu.tx import modulate_bits_wire
+        rng = np.random.default_rng(5)
+        bits = jnp.asarray(rng.integers(0, 2, 433), jnp.int32)
+        whole, _ = modulate_bits_wire(bits, mod_reset())
+        st = mod_reset()
+        parts = []
+        for lo, hi in [(0, 1), (1, 10), (10, 217), (217, 433)]:
+            w, st = modulate_bits_wire(bits[lo:hi], st)
+            parts.append(np.asarray(w))
+        np.testing.assert_array_equal(np.concatenate(parts), np.asarray(whole))

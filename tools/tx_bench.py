@@ -72,7 +72,7 @@ def main() -> int:
     from opv_tpu.config import CONFIG
     from opv_tpu.core import build_bert_frame, encode_frame
     from opv_tpu.core.framing import frame_to_symbol_bits
-    from opv_tpu.tx.modulator import mod_reset, modulate_bits_fast
+    from opv_tpu.tx.modulator import mod_reset, modulate_bits_wire
 
     C, F = args.channels, args.frames
     sps = CONFIG.samples_per_symbol
@@ -93,7 +93,10 @@ def main() -> int:
     log(f"geometry: {C} ch x {F} frames = {n_out/1e6:.1f} M output samples "
         f"({n_out*4/1e6:.0f} MB int16 IQ)")
 
-    mod_b = jax.vmap(lambda b: modulate_bits_fast(b, st0)[0])   # (C,S*40,2)
+    # wire-packed form: one int32 word per sample whose LE bytes are the
+    # interleaved int16 I,Q wire sample — the (N, 2) stack costs ~5x the
+    # whole synthesis on TPU (minor-axis-2 concat defeats fusion; PERF.md)
+    mod_b = jax.vmap(lambda b: modulate_bits_wire(b, st0)[0])   # (C, S*40)
 
     def chain(p):
         bb = jax.vmap(
