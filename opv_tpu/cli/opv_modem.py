@@ -118,13 +118,47 @@ def main(argv=None) -> int:
     frames_rx = [0]
     exact = not args.fast
 
+    def make_demod():
+        """Demodulator engine for -l / -R.  Default: the reference-parity
+        float64 tracking loop (StreamingDemodulator).  --fast: the
+        feed-forward locked-grid engine (stream/locked.py) behind the same
+        (frame_bytes, metric, q, idx) result tuples — the production
+        serving path (the tracking loop sustains only ~0.5x real time on a
+        commodity CPU core, the locked engine ~80x; MODEM_r02.json).
+        block_frames=1 minimizes serving latency (the window gate is ~2
+        frame times instead of 5); pipeline stays off because the serving
+        loop is latency- not throughput-bound and the demod shares the
+        process with the modulator."""
+        if not args.fast:
+            return StreamingDemodulator()
+        from opv_tpu.stream import LockedStreamDemodulator
+
+        class _FastEngine:
+            def __init__(self):
+                self._sd = LockedStreamDemodulator(channels=1,
+                                                   block_frames=1)
+
+            @staticmethod
+            def _adapt(results):
+                return [(fb, metric, q, pos)
+                        for _c, fb, metric, q, pos in results]
+
+            def feed(self, x):
+                # (n,) complex or (n, 2) IQ pairs -> (1, ...) channel axis
+                return self._adapt(self._sd.feed(x[None]))
+
+            def flush(self):
+                return self._adapt(self._sd.flush())
+
+        return _FastEngine()
+
     # =====================================================================
     # RX MODE: stdin IQ -> demod -> UDP (opv-modem.cpp:673-838)
     # =====================================================================
     if args.rx_mode:
         tx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         dest = ("127.0.0.1", args.response_port)
-        sd = StreamingDemodulator()
+        sd = make_demod()
         if not args.quiet:
             print("✓ Receiving from stdin...\n", file=err)
         stdin = sys.stdin.buffer
@@ -163,7 +197,7 @@ def main(argv=None) -> int:
         print(f"Error binding to port {args.port}", file=err)
         return 1
 
-    sd = StreamingDemodulator() if args.loopback else None
+    sd = make_demod() if args.loopback else None
     mod_state = mod_reset()
     iq_out = open(args.iq_file, "wb") if args.iq_file else None
 
@@ -207,8 +241,11 @@ def main(argv=None) -> int:
                 sys.stdout.buffer.write(wire)
                 sys.stdout.buffer.flush()
             if sd is not None:
-                deliver(sd.feed(
-                    iq_np[:, 0].astype(np.float64) + 1j * iq_np[:, 1]))
+                # fast engine takes the (n, 2) int16 wire pairs directly
+                # (quantized append, no complex materialization)
+                deliver(sd.feed(iq_np if args.fast else
+                                iq_np[:, 0].astype(np.float64)
+                                + 1j * iq_np[:, 1]))
 
     if sd is not None:
         # drain frames still buffered in the demodulator (the leftover tail

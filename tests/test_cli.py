@@ -169,6 +169,42 @@ class TestUDPServer:
             proc.terminate()
             proc.wait(timeout=30)
 
+    def test_loopback_echo_fast_engine(self):
+        """-l --fast: the locked-grid serving engine behind the same UDP
+        contract — frames echo back identically.  Its window gate is ~2
+        frames (block_frames=1), so keep pacing frames until the first
+        one returns (tools/modem_bench.py measures this path's serving
+        latency/rate: MODEM_r02.json)."""
+        port = 57489
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "opv_tpu.cli.opv_modem", "-l", "--fast",
+             "-p", str(port)],
+            env=ENV, stderr=subprocess.PIPE, stdout=subprocess.DEVNULL)
+        try:
+            assert self._wait_port_ready(proc)
+            from opv_tpu.core.base40 import base40_encode
+            frame = bytearray(CONFIG.frame_bytes)
+            frame[:6] = base40_encode("W5NYV")
+            frame[6:9] = (0xBBAADD).to_bytes(3)
+            for i in range(CONFIG.payload_offset, CONFIG.frame_bytes):
+                frame[i] = i & 0xFF
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.bind(("127.0.0.1", 0))
+            deadline = time.time() + 240
+            data = None
+            while data is None and time.time() < deadline:
+                s.sendto(bytes(frame), ("127.0.0.1", port))
+                s.settimeout(0.25)
+                try:
+                    data, _ = s.recvfrom(4096)
+                except socket.timeout:
+                    pass
+            assert data == bytes(frame)
+            s.close()
+        finally:
+            proc.terminate()
+            proc.wait(timeout=30)
+
     def test_tx_mode_and_iq_tee(self, tmp_path):
         """-t: UDP frame -> IQ on stdout; -o FILE tees the same IQ."""
         port = 57493
@@ -203,9 +239,11 @@ class TestUDPServer:
             input=tee_bytes, capture_output=True, env=ENV, timeout=600)
         assert dem.stdout == bytes(frame)
 
-    def test_rx_mode_udp_delivery(self):
-        """make test-rx: opv-mod -S TEST -B 3 | opv-modem -R -r PORT."""
-        port = 57492
+    @pytest.mark.parametrize("engine", ["exact", "fast"])
+    def test_rx_mode_udp_delivery(self, engine):
+        """make test-rx: opv-mod -S TEST -B 3 | opv-modem -R -r PORT
+        (both the parity tracking engine and the --fast locked engine)."""
+        port = 57492 + (engine == "fast")
         listener = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         listener.bind(("127.0.0.1", port))
         listener.settimeout(300)
@@ -213,7 +251,8 @@ class TestUDPServer:
                       capture_output=True, timeout=600)
         proc = subprocess.Popen(
             [sys.executable, "-m", "opv_tpu.cli.opv_modem", "-R",
-             "-r", str(port), "-q"],
+             "-r", str(port), "-q"]
+            + (["--fast"] if engine == "fast" else []),
             env=ENV, stdin=subprocess.PIPE, stderr=subprocess.DEVNULL)
         try:
             proc.stdin.write(mod.stdout)
