@@ -191,6 +191,11 @@ def main(argv=None) -> int:
     # TX / LOOPBACK / MONITOR: UDP server loop (opv-modem.cpp:840-1006)
     # =====================================================================
     from opv_tpu.io.udp import UDPFrameBridge
+    import jax
+
+    # batch-1 encode runs once per datagram; eagerly it costs ~5 ms of
+    # per-op dispatch overhead vs ~0.3 ms compiled (MODEM_r02.json splits)
+    enc_jit = jax.jit(encode_frame)
     try:
         bridge = UDPFrameBridge(port=args.port)
     except OSError:
@@ -231,7 +236,7 @@ def main(argv=None) -> int:
                 print(f"TX {frames_tx[0]}: {sid} [0x{tok:x}] from "
                       f"{sender[0]}:{sender[1]}", file=err)
             frame = np.frombuffer(data, dtype=np.uint8).reshape(1, fb_len)
-            enc = encode_frame(jnp.asarray(frame))
+            enc = enc_jit(jnp.asarray(frame))
             iq, mod_state = modulate_frames(enc, state=mod_state, exact=exact)
             iq_np = np.asarray(iq)
             wire = iq_np.astype("<i2").tobytes()
