@@ -15,6 +15,9 @@ Options:
               call here, not a subprocess — no binary path needed)
   -o FILE     tee modulated IQ to file
   -v / -q     verbose / quiet
+  --fast      serve with the locked-grid engine: float32 DSP AND the
+              locked-grid streaming demod replaces the reference-parity
+              tracking loop in -l/-R (real-time serving; docs/migration.md)
 
 Architecturally this replaces the reference's fork/exec demod subprocess +
 pipe plumbing (opv-modem.cpp:349-477) with an in-process StreamingDemodulator
@@ -45,7 +48,9 @@ def main(argv=None) -> int:
     ap.add_argument("-h", dest="help", action="store_true")
     ap.add_argument("--device", default="cpu")
     ap.add_argument("--fast", action="store_true",
-                    help="fast (float32) DSP paths")
+                    help="serve with the locked-grid engine (float32 DSP, "
+                         "replaces the reference-parity tracking demod in "
+                         "-l/-R; see docs/migration.md)")
     args = ap.parse_args(argv)
 
     if args.help:

@@ -243,7 +243,9 @@ class TestUDPServer:
     def test_rx_mode_udp_delivery(self, engine):
         """make test-rx: opv-mod -S TEST -B 3 | opv-modem -R -r PORT
         (both the parity tracking engine and the --fast locked engine)."""
-        port = 57492 + (engine == "fast")
+        # 57492/57494: 57493 is test_tx_mode_and_iq_tee's modem listen port
+        # (a bind collision under parallel runners / lingering subprocesses)
+        port = 57492 + 2 * (engine == "fast")
         listener = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         listener.bind(("127.0.0.1", port))
         listener.settimeout(300)

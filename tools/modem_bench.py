@@ -141,7 +141,12 @@ def bench(fast: bool, n_cadence: int, n_burst: int, port: int) -> dict:
         sock.settimeout(300)
 
         # ---- real-time cadence: one frame every 40 ms ----
-        base = 10
+        # seq base DISJOINT from the cold-start pacer seqs (0..pacer-1, can
+        # reach hundreds during jit compiles): a pacer frame still held
+        # behind the demod window gate echoes back during the cadence run,
+        # and a base inside the pacer range would double-count it as a
+        # scored frame, dropping a real tail frame from the latency set
+        base = 500_000
         send_t, recv_t = {}, {}
         next_send = time.time()
         sent = recvd = 0
