@@ -58,6 +58,8 @@ samples) pends until the next feed.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from opv_tpu.config import CONFIG
@@ -113,7 +115,7 @@ class LockedStreamDemodulator:
 
     def __init__(self, channels: int, block_frames: int = 4,
                  dtype: str = "auto", pipeline: bool = False,
-                 agc: bool = True):
+                 agc: bool = True, mesh=None):
         """dtype: buffer element type for the (C, window/40, 80) window-row
         buffer — "float32", "bfloat16", "int8", or "auto" (int8 on TPU,
         else float32).  bf16 halves buffer HBM and the steady matmul's
@@ -157,11 +159,72 @@ class LockedStreamDemodulator:
         cost duplicate device work on the rare lock-transition blocks.
         Checkpointing requires a quiesced stream: state_tree() raises while
         a block is in flight (flush() first, or checkpoint at flush
-        boundaries)."""
+        boundaries).
+
+        mesh: a jax.sharding.Mesh with a 'ch' axis — the MULTI-CHIP
+        production mode (SURVEY.md section 2 parallelism table: channel
+        parallelism is the reference's process-per-radio, opv-modem.cpp:391,
+        scaled onto a device mesh).  Every device program in this driver
+        (steady body, re-acquire, retime, append, slide, AGC stats/requant)
+        is shard_mapped over 'ch': the (C, window/40, 80) buffer lives
+        device-sharded on axis 0 and NEVER gathers; each device runs the
+        identical locked-grid body on its C/nch local channels (including
+        the row-slice scans, which stay local-shape).  Only per-channel
+        scalars (p0, freq_offset, sync_q, metrics) and decoded frame bytes
+        cross the ICI/host link; the global decode count is a psum.  The
+        host sync lifecycle is untouched — it already runs on (C,) numpy
+        scalars, so sharded and single-device drivers emit IDENTICAL tuple
+        streams (test_locked_stream.TestShardedLocked pins this).  Any
+        extra mesh axes are unused (work replicates across them); channels
+        must divide the 'ch' axis size."""
         import jax
         import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
         from opv_tpu.rx.locked import (rx_locked_reacquire, rx_locked_retime,
                                        rx_locked_steady)
+
+        self.mesh = mesh
+        if mesh is not None:
+            if "ch" not in mesh.shape:
+                raise ValueError("mesh must carry a 'ch' axis")
+            if channels % mesh.shape["ch"]:
+                raise ValueError(
+                    f"{channels} channels not divisible by ch-axis size "
+                    f"{mesh.shape['ch']}")
+
+            def jit_s(fn, in_specs, out_specs, **kw):
+                return jax.jit(jax.shard_map(fn, mesh=mesh,
+                                             in_specs=in_specs,
+                                             out_specs=out_specs,
+                                             check_vma=False), **kw)
+
+            self._put = functools.partial(
+                jax.device_put, device=NamedSharding(mesh, P("ch")))
+
+            def globalize(out):          # per-shard counts -> global
+                out = dict(out)
+                out["n_decoded"] = jax.lax.psum(out["n_decoded"], "ch")
+                return out
+        else:
+            def jit_s(fn, in_specs, out_specs, **kw):
+                return jax.jit(fn, **kw)
+
+            self._put = jnp.asarray
+            globalize = lambda out: out  # noqa: E731
+
+        # LOCAL channel count: shard_map bodies see per-device shapes, so
+        # every reshape inside the jitted closures uses lc, not channels
+        lc = channels // mesh.shape["ch"] if mesh is not None else channels
+
+        # shard_map axis specs (ignored when mesh is None)
+        CH = P("ch")                     # (C,) per-channel scalars
+        BUF = P("ch", None, None)        # (C, rows, 80) window buffer
+        CHN = P("ch", None)              # (C, t) complex chunks
+        OUT = dict(frames=P("ch", None, None), metrics=P("ch", None),
+                   frame_valid=P("ch", None), sync_q=P("ch", None),
+                   sync_raw=P("ch", None), decode_ok=P("ch", None),
+                   p0=CH, freq_offset=CH, n_decoded=P())
 
         if dtype == "auto":
             # TPU production default: int8 + AGC.  Same decoded frames as
@@ -186,13 +249,14 @@ class LockedStreamDemodulator:
             return x.astype(self.dtype)
 
         def _cplx(buf, scale):           # (C, R, 80) rows -> (C, R*40) c64
-            f = buf.astype(jnp.float32).reshape(channels, -1, 2)
+            f = buf.astype(jnp.float32).reshape(lc, -1, 2)
             if int8:
                 f = f * scale[:, None, None]   # back to wire scale
             return jax.lax.complex(f[..., 0], f[..., 1])
 
-        self._retime = jax.jit(
-            lambda b, p, f, sc: rx_locked_retime(_cplx(b, sc), p, f))
+        self._retime = jit_s(
+            lambda b, p, f, sc: rx_locked_retime(_cplx(b, sc), p, f),
+            (BUF, CH, CH, CH), CH)
 
         self.channels = channels
         self.block_frames = block_frames
@@ -210,9 +274,11 @@ class LockedStreamDemodulator:
         self._jax = jax
 
         # jitted: eager-op dispatch is unreliable on the axon tunnel
-        # (UNIMPLEMENTED / hangs) while jit executables work
-        self._zeros = jax.jit(lambda: jnp.zeros(
-            (channels, self.window // self.sps, 2 * self.sps), self.dtype))
+        # (UNIMPLEMENTED / hangs) while jit executables work.  Under a mesh
+        # each shard zeros its own local rows — the buffer is born sharded.
+        self._zeros = jit_s(lambda: jnp.zeros(
+            (lc, self.window // self.sps, 2 * self.sps), self.dtype),
+            (), BUF)
         self._buf = self._zeros()
         self._count = 0                 # valid samples in buffer
         self._pend = None               # (C, <40, 2) sub-row feed tail
@@ -235,30 +301,31 @@ class LockedStreamDemodulator:
         bf = block_frames
 
         def steady(buf, p0, foff, scale):
-            return rx_locked_steady(buf, p0, foff, n_frames=bf,
-                                    scale=scale if int8 else None)
+            return globalize(rx_locked_steady(buf, p0, foff, n_frames=bf,
+                                              scale=scale if int8 else None))
 
         def steady_x(buf, p0, foff, scale):
             # one extra slot: used on drift-wrap blocks, where a channel's
             # grid steps back across the window start and the straddling
             # frame (still fully inside this window's overlap) must be
             # emitted before the grid advances a frame (see _process)
-            return rx_locked_steady(buf, p0, foff, n_frames=bf + 1,
-                                    scale=scale if int8 else None)
+            return globalize(rx_locked_steady(buf, p0, foff,
+                                              n_frames=bf + 1,
+                                              scale=scale if int8 else None))
 
         def reacquire(buf, p0, foff, keep, scale):
-            return rx_locked_reacquire(_cplx(buf, scale), p0, foff, keep,
-                                       n_frames=bf)
+            return globalize(rx_locked_reacquire(_cplx(buf, scale), p0, foff,
+                                                 keep, n_frames=bf))
 
         sps = self.sps
 
         def append(buf, row, x, scale):  # x: (C, t, 2) wire-scale pairs
-            rows = conv(x, scale).reshape(channels, -1, 2 * sps)
+            rows = conv(x, scale).reshape(lc, -1, 2 * sps)
             return jax.lax.dynamic_update_slice(buf, rows, (0, row, 0))
 
         def append_c(buf, row, x, scale):  # complex chunk -> rows, fused
             xi = jnp.stack([x.real, x.imag], axis=-1)
-            rows = conv(xi, scale).reshape(channels, -1, 2 * sps)
+            rows = conv(xi, scale).reshape(lc, -1, 2 * sps)
             return jax.lax.dynamic_update_slice(buf, rows, (0, row, 0))
 
         def stat_p(ss, mx, x):           # AGC stats: (C, t, 2) pairs
@@ -284,22 +351,25 @@ class LockedStreamDemodulator:
         def slide(buf):
             adv = self.advance // sps
             kept = buf[:, adv:]
-            pad = jnp.zeros((channels, adv, 2 * sps), buf.dtype)
+            pad = jnp.zeros((lc, adv, 2 * sps), buf.dtype)
             return jnp.concatenate([kept, pad], axis=1)
 
-        self._conv = jax.jit(conv)
+        PRS = P("ch", None, None)        # (C, t, 2) wire-scale pairs
+        self._conv = jit_s(conv, (PRS, CH), PRS)
         self._int8 = int8
         self._int8_scale = INT8_SCALE
-        self._steady = jax.jit(steady)
-        self._steady_x = jax.jit(steady_x)
-        self._reacquire = jax.jit(reacquire)
-        self._append = jax.jit(append, donate_argnums=(0,))
-        self._append_c = jax.jit(append_c, donate_argnums=(0,))
-        self._pairs_c = jax.jit(pairs_c)
-        self._slide = jax.jit(slide, donate_argnums=(0,))
+        self._steady = jit_s(steady, (BUF, CH, CH, CH), OUT)
+        self._steady_x = jit_s(steady_x, (BUF, CH, CH, CH), OUT)
+        self._reacquire = jit_s(reacquire, (BUF, CH, CH, CH, CH), OUT)
+        self._append = jit_s(append, (BUF, P(), PRS, CH), BUF,
+                             donate_argnums=(0,))
+        self._append_c = jit_s(append_c, (BUF, P(), CHN, CH), BUF,
+                               donate_argnums=(0,))
+        self._pairs_c = jit_s(pairs_c, (CHN,), PRS)
+        self._slide = jit_s(slide, (BUF,), BUF, donate_argnums=(0,))
         # pipelined mode keeps the in-flight block's window alive for a
         # possible relaunch, so its slide cannot donate the input
-        self._slide_copy = jax.jit(slide)
+        self._slide_copy = jit_s(slide, (BUF,), BUF)
 
         # int8 AGC state: per-channel quantization step (wire units per
         # int8 LSB, device + host mirror) and feed-time level statistics
@@ -308,12 +378,12 @@ class LockedStreamDemodulator:
         # but unused -> dropped by XLA).
         self._agc = bool(agc) and int8
         self._scale_np = np.full(channels, INT8_SCALE, np.float32)
-        self._scale = jnp.asarray(self._scale_np)
-        self._stat_p = jax.jit(stat_p)
-        self._stat_c = jax.jit(stat_c)
-        self._requant = jax.jit(requant)
-        self._stat_ss = jnp.asarray(np.zeros(channels, np.float32))
-        self._stat_max = jnp.asarray(np.zeros(channels, np.float32))
+        self._scale = self._put(self._scale_np)
+        self._stat_p = jit_s(stat_p, (CH, CH, PRS), (CH, CH))
+        self._stat_c = jit_s(stat_c, (CH, CH, CHN), (CH, CH))
+        self._requant = jit_s(requant, (BUF, CH), BUF)
+        self._stat_ss = self._put(np.zeros(channels, np.float32))
+        self._stat_max = self._put(np.zeros(channels, np.float32))
         self._stat_cnt = 0               # components accumulated (host)
         self._blocks = 0                 # resolved blocks (AGC cadence)
         self._agc_primed = not self._agc
@@ -334,8 +404,8 @@ class LockedStreamDemodulator:
         if samples.shape[0] != self.channels:
             raise ValueError(f"expected {self.channels} channels")
         ilv = samples.ndim == 3
-        x = jnp.asarray(samples) if ilv else jnp.asarray(samples,
-                                                         jnp.complex64)
+        x = self._put(jnp.asarray(samples) if ilv
+                      else jnp.asarray(samples, jnp.complex64))
         if self._pend is not None:
             # sub-row carry from the previous feed: unify in the pairs
             # domain (rare — only non-40-aligned feeds reach here)
@@ -433,8 +503,8 @@ class LockedStreamDemodulator:
         p0_wrapped = self.p0
         retune = self.refresh & self.locked
         if retune.any():
-            delta = np.asarray(self._retime(buf, jnp.asarray(self.p0),
-                                            jnp.asarray(self.freq_offset),
+            delta = np.asarray(self._retime(buf, self._put(self.p0),
+                                            self._put(self.freq_offset),
                                             self._scale))
             delta = np.where(retune, delta, 0).astype(np.int32)
             p0n = self.p0 + delta
@@ -456,16 +526,16 @@ class LockedStreamDemodulator:
 
         if self.locked.all():
             run = self._steady_x if wrap.any() else self._steady
-            out = run(buf, jnp.asarray(self.p0),
-                      jnp.asarray(self.freq_offset), self._scale)
+            out = run(buf, self._put(self.p0),
+                      self._put(self.freq_offset), self._scale)
             tag = "steady"
         else:
             # mixed lock states never use the extra-slot program; a wrap
             # coinciding with another channel's re-acquisition forfeits the
             # straddler (rare corner; the grid still corrects)
-            out = self._reacquire(buf, jnp.asarray(self.p0),
-                                  jnp.asarray(self.freq_offset),
-                                  jnp.asarray(self.locked), self._scale)
+            out = self._reacquire(buf, self._put(self.p0),
+                                  self._put(self.freq_offset),
+                                  self._put(self.locked), self._scale)
             tag = "reacquire"
         return out, wrap, p0_wrapped, tag
 
@@ -489,9 +559,9 @@ class LockedStreamDemodulator:
         dropped = prev_locked & ~self.locked
         if dropped.any():
             self.reacquisitions += 1
-            out2 = self._reacquire(buf, jnp.asarray(self.p0),
-                                   jnp.asarray(self.freq_offset),
-                                   jnp.asarray(~dropped), self._scale)
+            out2 = self._reacquire(buf, self._put(self.p0),
+                                   self._put(self.freq_offset),
+                                   self._put(~dropped), self._scale)
             results.extend(self._emit(out2, valid_limit, only=dropped,
                                       min_pos=self._dropped_at, base=base))
         self.refresh = self._want_refresh & self.locked
@@ -540,14 +610,11 @@ class LockedStreamDemodulator:
             new = np.where(adopt, desired, self._scale_np).astype(np.float32)
             if self._count:              # re-quantize the buffered window
                 factor = (self._scale_np / new).astype(np.float32)
-                self._buf = self._requant(self._buf,
-                                          self._jnp.asarray(factor))
+                self._buf = self._requant(self._buf, self._put(factor))
             self._scale_np = new
-            self._scale = self._jnp.asarray(new)
-        self._stat_ss = self._jnp.asarray(np.zeros(self.channels,
-                                                   np.float32))
-        self._stat_max = self._jnp.asarray(np.zeros(self.channels,
-                                                    np.float32))
+            self._scale = self._put(new)
+        self._stat_ss = self._put(np.zeros(self.channels, np.float32))
+        self._stat_max = self._put(np.zeros(self.channels, np.float32))
         self._stat_cnt = 0
 
     def _process_pipelined(self):
@@ -576,8 +643,8 @@ class LockedStreamDemodulator:
             # wrapped channels' grid with the host-computed p0_wrapped)
             p0_dev = prev["out"]["p0"]
             if prev["wrap"].any():
-                p0_dev = jnp.where(jnp.asarray(prev["wrap"]),
-                                   jnp.asarray(prev["p0w"]), p0_dev)
+                p0_dev = jnp.where(self._put(prev["wrap"]),
+                                   self._put(prev["p0w"]), p0_dev)
             p0_dev = p0_dev % self.spf
             foff_dev = prev["out"]["freq_offset"]
             if pred_locked.all():
@@ -586,7 +653,7 @@ class LockedStreamDemodulator:
                             "steady")
             else:
                 o = self._reacquire(self._buf, p0_dev, foff_dev,
-                                    jnp.asarray(pred_locked), self._scale)
+                                    self._put(pred_locked), self._scale)
                 launched = (o, np.zeros(self.channels, bool), self.p0,
                             "reacquire")
         # resolve the previous block (fetch overlaps the launched compute)
@@ -766,12 +833,12 @@ class LockedStreamDemodulator:
                                                                     None]
         if self._int8:
             self._scale_np = tree_scale.copy()
-            self._scale = jnp.asarray(self._scale_np)
+            self._scale = self._put(self._scale_np)
         if self._int8 and buf.dtype != jnp.int8:
             # wire-scale floats -> quantized at the adopted step
-            self._buf = self._conv(buf, self._scale)
+            self._buf = self._conv(self._put(buf), self._scale)
         else:
-            self._buf = buf.astype(self.dtype)
+            self._buf = self._put(buf.astype(self.dtype))
         count = int(tree["count"])
         self._pend = None
         rem = count % self.sps
@@ -804,6 +871,6 @@ class LockedStreamDemodulator:
         # feed chunk, and start its stats window fresh
         if self._agc:
             self._agc_primed = True
-            self._stat_ss = jnp.asarray(np.zeros(self.channels, np.float32))
-            self._stat_max = jnp.asarray(np.zeros(self.channels, np.float32))
+            self._stat_ss = self._put(np.zeros(self.channels, np.float32))
+            self._stat_max = self._put(np.zeros(self.channels, np.float32))
             self._stat_cnt = 0

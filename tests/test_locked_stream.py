@@ -397,6 +397,133 @@ class TestBufferDtype:
                 (dt_a, dt_b)
 
 
+class TestShardedLocked:
+    """mesh= drives the SAME locked-grid engine multi-chip: every device
+    program shard_maps over the 'ch' axis, the window buffer lives
+    device-sharded, and the emitted tuple stream must be IDENTICAL to the
+    single-device driver's — the production engine and the sharded runtime
+    are one code path (stream/locked.py mesh docstring; SURVEY.md section 2
+    parallelism table: channel parallelism = the reference's
+    process-per-radio, opv-modem.cpp:391, scaled onto a device mesh)."""
+
+    @staticmethod
+    def _mesh(n=8):
+        from opv_tpu.parallel.mesh import make_mesh
+        return make_mesh({"ch": n})
+
+    @staticmethod
+    def _staggered(s, channels, pad=8000):
+        sig = np.zeros((channels, len(s) + pad), np.complex64)
+        for c in range(channels):
+            sig[c, c * 997: c * 997 + len(s)] = s
+        return sig
+
+    def test_clean_8ch_tuple_identical_and_buffer_sharded(self):
+        s, frames = _signal(10)
+        x = self._staggered(s, 8)
+        ref = _run(LockedStreamDemodulator(8, block_frames=2), x,
+                   chunk=123_457)
+        sd = LockedStreamDemodulator(8, block_frames=2, mesh=self._mesh())
+        got = _run(sd, x, chunk=123_457)
+        assert got == ref and len(ref) == 80
+        shard_shapes = {tuple(s.data.shape)
+                        for s in sd._buf.addressable_shards}
+        assert shard_shapes == {(1, sd.window // 40, 80)}
+
+    def test_mixed_lock_states_reacquire_cfo(self):
+        """Half the channels drop lock into a noise gap and re-hunt a +500 Hz
+        burst while the others stay locked — the sharded re-acquire program
+        (keep-mask + psum'd count) must match the single-device lifecycle
+        tuple for tuple."""
+        rng = np.random.default_rng(3)
+        s1, _ = _signal(5)
+        s2, _ = _signal(5, start=100)
+        gap = (rng.standard_normal(6 * SPF) +
+               1j * rng.standard_normal(6 * SPF)).astype(np.complex64) * 50.0
+        t = np.arange(len(s2))
+        s2c = (s2 * np.exp(2j * np.pi * 500.0 * t / CONFIG.sample_rate)
+               ).astype(np.complex64)
+        bursty = np.concatenate([s1, gap, np.zeros(23, np.complex64), s2c])
+        reps = -(-len(bursty) // len(s1))
+        steady = np.concatenate([s1] * reps)[:len(bursty)]
+        x = np.stack([bursty if c % 2 else steady for c in range(8)])
+
+        ref_sd = LockedStreamDemodulator(8, block_frames=4)
+        ref = _run(ref_sd, x, chunk=70_001)
+        sd = LockedStreamDemodulator(8, block_frames=4, mesh=self._mesh())
+        got = _run(sd, x, chunk=70_001)
+        assert got == ref
+        assert sd.reacquisitions == ref_sd.reacquisitions >= 1
+        assert sd.decoded == ref_sd.decoded
+
+    def test_pipelined_sharded_equals_synchronous(self):
+        """pipeline=True composes with mesh=: device-chained p0/freq_offset
+        stay sharded across blocks and mispredictions relaunch correctly."""
+        s, _ = _signal(10)
+        x = self._staggered(s, 8)
+        ref = _run(LockedStreamDemodulator(8, block_frames=2), x)
+        sd = LockedStreamDemodulator(8, block_frames=2, mesh=self._mesh(),
+                                     pipeline=True)
+        assert _run(sd, x) == ref
+
+    def test_int8_agc_sharded(self):
+        """int8 buffer + per-channel AGC under the mesh: the stats
+        accumulation, step adoption, and buffered-window requant all run
+        shard_mapped; tuples match the single-device int8+AGC driver."""
+        s, frames = _signal(6)
+        x = self._staggered(s, 8)
+        # per-channel levels so AGC adopts DIFFERENT steps per channel
+        x *= (1.0 / (1 << np.arange(8)))[:, None]
+        ref = _run(LockedStreamDemodulator(8, block_frames=2, dtype="int8"),
+                   x, chunk=SPF)
+        sd = LockedStreamDemodulator(8, block_frames=2, dtype="int8",
+                                     mesh=self._mesh())
+        assert _run(sd, x, chunk=SPF) == ref
+        assert len({float(v) for v in sd._scale_np}) == 8
+
+    def test_checkpoint_cross_driver(self, tmp_path):
+        """A sharded stream's checkpoint restores into a single-device
+        driver (and back) bit-identically — the state tree is
+        placement-agnostic."""
+        s, _ = _signal(8)
+        x = self._staggered(s, 8)
+        ref = _run(LockedStreamDemodulator(8, block_frames=2), x)
+
+        cut = 4 * SPF + 11_003
+        sd = LockedStreamDemodulator(8, block_frames=2, mesh=self._mesh())
+        out = list(sd.feed(x[:, :cut]))
+        save_state(str(tmp_path / "ck"), sd.state_tree())
+        sd2 = LockedStreamDemodulator(8, block_frames=2)   # unsharded
+        sd2.load_state_tree(load_state(str(tmp_path / "ck"),
+                                       sd.state_tree()))
+        out += sd2.feed(x[:, cut:]) + sd2.flush()
+        assert out == ref
+
+        sd3 = LockedStreamDemodulator(8, block_frames=2)
+        out3 = list(sd3.feed(x[:, :cut]))
+        save_state(str(tmp_path / "ck2"), sd3.state_tree())
+        sd4 = LockedStreamDemodulator(8, block_frames=2, mesh=self._mesh())
+        sd4.load_state_tree(load_state(str(tmp_path / "ck2"),
+                                       sd3.state_tree()))
+        out3 += sd4.feed(x[:, cut:]) + sd4.flush()
+        assert out3 == ref
+
+    def test_multiple_channels_per_device(self):
+        """16 channels on an 8-device mesh (2 local channels each)."""
+        s, _ = _signal(5)
+        x = self._staggered(s, 16, pad=16_000)
+        ref = _run(LockedStreamDemodulator(16, block_frames=2), x)
+        sd = LockedStreamDemodulator(16, block_frames=2, mesh=self._mesh())
+        assert _run(sd, x) == ref and len(ref) == 80
+
+    def test_geometry_validation(self):
+        with pytest.raises(ValueError, match="divisible"):
+            LockedStreamDemodulator(6, mesh=self._mesh())
+        from opv_tpu.parallel.mesh import make_mesh
+        with pytest.raises(ValueError, match="'ch' axis"):
+            LockedStreamDemodulator(8, mesh=make_mesh({"time": 8}))
+
+
 class TestInt8Agc:
     """AGC for the int8 stream buffer (stream/locked.py _agc_update): the
     quantization step follows the measured input level instead of assuming
