@@ -79,34 +79,45 @@ def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray):
     emits the candidate frame unconditionally (src/opv-demod.cpp:657-680),
     so a single noise spike can false-lock it off the real grid, costing up
     to sync_miss_limit real frames until the flywheel drops.  Here a
-    candidate only qualifies if the NEXT frame's sync (one frame interval
-    later) also re-checks at the locked threshold — noise cannot produce
-    two aligned syncs, so the earliest verified candidate IS the burst.
-    (Consequence: an isolated single-frame burst does not lock this path;
-    use the reference-parity tracking pipeline for that traffic pattern.)
+    candidate only qualifies as VERIFIED if the NEXT frame's sync (one
+    frame interval later) also re-checks at the locked threshold — noise
+    cannot produce two aligned syncs, so the earliest verified candidate IS
+    the burst.  The earliest UNVERIFIED candidate is returned alongside so
+    streaming drivers can still salvage an isolated single-frame burst
+    (the reference decodes those, opv-demod.cpp:657-680) by emitting its
+    frame WITHOUT taking the lock — reference semantics minus the
+    false-lock flywheel cost (stream/locked.py single_frame_burst).
 
-    Returns ((C,) p0, (C,) found).  Where found is False, p0 is meaningless
-    (callers keep their previous state; sync-quality gates reject frames).
+    Returns ((C,) p0, (C,) found, (C,) p0_unverified, (C,) found_u).
+    Where a found mask is False, the matching p0 is meaningless (callers
+    keep their previous state; sync-quality gates reject frames).
     """
-    cand = (norm >= CONFIG.sync_hunt_norm_thresh) & \
-           (raw >= CONFIG.sync_hunt_raw_thresh)
+    cand_u = (norm >= CONFIG.sync_hunt_norm_thresh) & \
+             (raw >= CONFIG.sync_hunt_raw_thresh)
     # next-frame re-check, shifted gather-free: pad right then slice
     recheck = norm >= CONFIG.sync_locked_norm_thresh
     spf = _FS * _SPS
     nxt = jnp.pad(recheck, ((0, 0), (0, spf)))[:, spf:]
-    cand = cand & nxt
-    found = cand.any(axis=-1)
-    first = jnp.argmax(cand, axis=-1).astype(jnp.int32)[:, None]
+    cand = cand_u & nxt
     idx = jnp.arange(raw.shape[-1], dtype=jnp.int32)[None, :]
-    # the normalized metric saturates over a plateau; refine to the raw peak
-    # within one symbol CENTERED on the first qualifying position.  The
-    # half-symbol backward reach matters for drift refreshes
-    # (stream/locked.py): a grid that slipped backward by < half a symbol
-    # still qualifies at the stale position, and a forward-only window
-    # would return the stale p0 unchanged.
-    near = (idx >= first - _SPS // 2) & (idx < first + _SPS - _SPS // 2)
-    p0 = jnp.argmax(jnp.where(near, raw, -jnp.inf), axis=-1).astype(jnp.int32)
-    return p0, found
+
+    def first_peak(c):
+        found = c.any(axis=-1)
+        first = jnp.argmax(c, axis=-1).astype(jnp.int32)[:, None]
+        # the normalized metric saturates over a plateau; refine to the raw
+        # peak within one symbol CENTERED on the first qualifying position.
+        # The half-symbol backward reach matters for drift refreshes
+        # (stream/locked.py): a grid that slipped backward by < half a
+        # symbol still qualifies at the stale position, and a forward-only
+        # window would return the stale p0 unchanged.
+        near = (idx >= first - _SPS // 2) & (idx < first + _SPS - _SPS // 2)
+        p0 = jnp.argmax(jnp.where(near, raw, -jnp.inf),
+                        axis=-1).astype(jnp.int32)
+        return p0, found
+
+    p0, found = first_peak(cand)
+    p0_u, found_u = first_peak(cand_u)
+    return p0, found, p0_u, found_u
 
 
 def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
@@ -261,15 +272,24 @@ def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
                           jnp.zeros_like(freq_offset_old))
     soft_h = dense_soft(samples, hunt_foff)
     raw, norm = dense_sync(soft_h)
-    p0_new, found = hunt_grid(raw, norm)
-    p0 = jnp.where(keep | ~found, p0_old, p0_new)
+    p0_new, found, p0_u, found_u = hunt_grid(raw, norm)
+    # an unverified-only candidate (no second sync one frame later) is an
+    # isolated single-frame burst: process the block on ITS grid so the
+    # frame decodes, and flag it so the streaming driver can emit without
+    # taking the lock (reference emission semantics, opv-demod.cpp:657-680,
+    # without the false-lock flywheel cost)
+    burst_only = ~keep & ~found & found_u
+    p0 = jnp.where(keep | ~(found | found_u), p0_old,
+                   jnp.where(found, p0_new, p0_u))
     # CFO estimated on one frame interval AT the acquired position (the
     # block may hold noise before a mid-block burst; estimating from the
     # block head would be meaningless there).
     seg = _slice_rows(samples, p0, _FS * _SPS)
     cfo_new = estimate_cfo_batch(seg).astype(jnp.float32)
     freq_offset = jnp.where(keep, freq_offset_old, cfo_new)
-    return _locked_body(samples, p0, freq_offset, n_frames)
+    out = _locked_body(samples, p0, freq_offset, n_frames)
+    out["burst_only"] = burst_only
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "estimate_cfo_flag"))
@@ -300,7 +320,7 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     acq_len = min(n, (2 * _FS + _SB + 2) * _SPS)
     soft_acq = dense_soft(samples[:, :acq_len], freq_offset)
     raw, norm = dense_sync(soft_acq)
-    p0_hunt, found = hunt_grid(raw, norm)
+    p0_hunt, found, _, _ = hunt_grid(raw, norm)
     p0 = jnp.where(found, p0_hunt, acquire_grid(raw))
     return _locked_body(samples, p0, freq_offset, n_frames)
 

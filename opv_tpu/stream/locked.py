@@ -115,7 +115,8 @@ class LockedStreamDemodulator:
 
     def __init__(self, channels: int, block_frames: int = 4,
                  dtype: str = "auto", pipeline: bool = False,
-                 agc: bool = True, mesh=None):
+                 agc: bool = True, mesh=None,
+                 single_frame_burst: bool = True):
         """dtype: buffer element type for the (C, window/40, 80) window-row
         buffer — "float32", "bfloat16", "int8", or "auto" (int8 on TPU,
         else float32).  bf16 halves buffer HBM and the steady matmul's
@@ -360,7 +361,8 @@ class LockedStreamDemodulator:
         self._int8_scale = INT8_SCALE
         self._steady = jit_s(steady, (BUF, CH, CH, CH), OUT)
         self._steady_x = jit_s(steady_x, (BUF, CH, CH, CH), OUT)
-        self._reacquire = jit_s(reacquire, (BUF, CH, CH, CH, CH), OUT)
+        OUT_R = dict(OUT, burst_only=CH)   # reacquire adds the salvage flag
+        self._reacquire = jit_s(reacquire, (BUF, CH, CH, CH, CH), OUT_R)
         self._append = jit_s(append, (BUF, P(), PRS, CH), BUF,
                              donate_argnums=(0,))
         self._append_c = jit_s(append_c, (BUF, P(), CHN, CH), BUF,
@@ -390,6 +392,11 @@ class LockedStreamDemodulator:
 
         self.pipeline = bool(pipeline)
         self._pending = None            # in-flight block (pipeline mode)
+        #: emit an isolated single-frame burst's frame without locking
+        #: (rx/locked.py hunt_grid docstring) — reference semantics
+        #: (opv-demod.cpp:657-680) minus the false-lock cost.  Off: such
+        #: bursts are silently dropped (the pre-round-3 behavior).
+        self._burst_salvage = bool(single_frame_burst)
 
     # ------------------------------------------------------------------ #
 
@@ -707,6 +714,7 @@ class LockedStreamDemodulator:
         # round trips (the axon tunnel's RTT makes serial fetches the
         # streaming driver's dominant host cost)
         out = self._jax.device_get(out)
+        burst_only = out.get("burst_only")   # reacquire blocks only
         q = out["sync_q"]
         raw = out["sync_raw"]
         ok = out["decode_ok"]
@@ -767,9 +775,19 @@ class LockedStreamDemodulator:
                     # HUNTING thresholds (src/opv-demod.cpp:783-786)
                     if (q[c, k] >= CONFIG.sync_hunt_norm_thresh
                             and raw[c, k] >= CONFIG.sync_hunt_raw_thresh):
-                        self.locked[c] = True
-                        self.miss[c] = 0
-                        emit = True
+                        if burst_only is not None and burst_only[c]:
+                            # isolated single-frame burst: the hunt's next-
+                            # frame verification found no second sync, so
+                            # emit the frame (the reference's VERIFYING
+                            # state emits it too, opv-demod.cpp:657-680)
+                            # but DON'T lock — there is nothing to track,
+                            # and a lock here would ride the flywheel
+                            # through sync_miss_limit garbage slots
+                            emit = self._burst_salvage
+                        else:
+                            self.locked[c] = True
+                            self.miss[c] = 0
+                            emit = True
                 if emit and ok[c, k]:
                     self.decoded += 1
                     if metrics[c, k] == 0:

@@ -81,6 +81,24 @@ class TestPipeLoopback:
         assert dem.returncode == 0
         assert dem.stdout == data
 
+    def test_fast_streaming_single_frame_burst(self):
+        """-s --fast on a 1-frame capture: the locked engine's hunt cannot
+        verify an isolated burst (no second sync), so the burst-salvage
+        path must emit it — the reference decodes single-frame sends
+        (opv-demod.cpp:657-680), and a serving engine that drops the only
+        frame of a PTT tap would be a behavioral regression."""
+        rng = np.random.default_rng(17)
+        data = rng.integers(0, 256, CONFIG.frame_bytes,
+                            dtype=np.uint8).tobytes()
+        mod = run_cli("opv_mod", ["-R", "--fast"], input=data,
+                      capture_output=True, timeout=600)
+        dem = subprocess.run(
+            [sys.executable, "-m", "opv_tpu.cli.opv_demod", "-s", "--fast",
+             "-q", "-r"],
+            input=mod.stdout, capture_output=True, env=ENV, timeout=600)
+        assert dem.returncode == 0
+        assert dem.stdout == data
+
     def test_fast_streaming_multichannel(self):
         """-s --fast --channels 2: sample-interleaved dual-channel stream;
         both channels decode bit-exactly through the locked engine."""
