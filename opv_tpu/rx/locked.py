@@ -286,6 +286,12 @@ def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
     # block head would be meaningless there).
     seg = _slice_rows(samples, p0, _FS * _SPS)
     cfo_new = estimate_cfo_batch(seg).astype(jnp.float32)
+    # correct the grid estimator's pinned bias with the feed-forward AFC
+    # discriminator (see refine_cfo_locked; twice — its gain shrinks ~0.65x
+    # per pass under waterfall noise) — seg already starts at the acquired
+    # sync, so the refine slice is the identity
+    cfo_new = refine_cfo_locked(seg, jnp.zeros_like(p0), cfo_new)
+    cfo_new = refine_cfo_locked(seg, jnp.zeros_like(p0), cfo_new)
     freq_offset = jnp.where(keep, freq_offset_old, cfo_new)
     out = _locked_body(samples, p0, freq_offset, n_frames)
     out["burst_only"] = burst_only
@@ -302,10 +308,12 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     frame_valid (C, F), sync_q (C, F), p0 (C,), freq_offset (C,).
     """
     c, n = samples.shape
+    refine = False
     if freq_offset is None:
         if estimate_cfo_flag:
             from opv_tpu.rx.cfo import estimate_cfo_batch
             freq_offset = estimate_cfo_batch(samples).astype(jnp.float32)
+            refine = True           # correct the grid estimator's bias
         else:
             freq_offset = jnp.zeros((c,), jnp.float32)
 
@@ -318,11 +326,81 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     # the first sync's raw peak can dip below 0.9 x a later sync's peak,
     # which used to lock one full frame late and shift every decoded slot.
     acq_len = min(n, (2 * _FS + _SB + 2) * _SPS)
-    soft_acq = dense_soft(samples[:, :acq_len], freq_offset)
-    raw, norm = dense_sync(soft_acq)
-    p0_hunt, found, _, _ = hunt_grid(raw, norm)
-    p0 = jnp.where(found, p0_hunt, acquire_grid(raw))
+
+    def acquire(foff):
+        soft_acq = dense_soft(samples[:, :acq_len], foff)
+        raw, norm = dense_sync(soft_acq)
+        p0_hunt, found, _, _ = hunt_grid(raw, norm)
+        return jnp.where(found, p0_hunt, acquire_grid(raw))
+
+    p0 = acquire(freq_offset)
+    if refine:
+        # correct the grid estimator's pinned +1430 Hz-class bias with the
+        # feed-forward AFC discriminator (refine_cfo_locked; twice — its
+        # gain shrinks ~0.65x per pass under waterfall noise), then RE-HUNT
+        # at the corrected offset: an uncorrected ~1.5 kHz bias costs the
+        # weaker FIRST sync its hunt detection at the FEC waterfall
+        # (measured on tests/golden/awgn8.iq: one whole frame, 10x the
+        # residual BER).  One extra 2-frame dense pass per batch call.
+        freq_offset = refine_cfo_locked(samples, p0, freq_offset)
+        freq_offset = refine_cfo_locked(samples, p0, freq_offset)
+        p0 = acquire(freq_offset)
+        freq_offset = refine_cfo_locked(samples, p0, freq_offset)
     return _locked_body(samples, p0, freq_offset, n_frames)
+
+
+@jax.jit
+def refine_cfo_locked(samples: jnp.ndarray, p0: jnp.ndarray,
+                      freq_offset: jnp.ndarray) -> jnp.ndarray:
+    """Feed-forward CFO refinement at the locked grid: (C,) corrected Hz.
+
+    The coarse grid search (rx/cfo.py) reproduces the reference's estimator
+    INCLUDING its bias (+1430 Hz on a clean 0-offset capture — a pinned
+    reference quirk).  The reference then converges that bias away with its
+    per-symbol AFC loop (src/opv-demod.cpp:288-307: phase of the dominant
+    tone's correlation, inter-symbol); the locked engine has no serial
+    loop, so an uncorrected bias costs waterfall SNR (measured ~5x residual
+    BER vs the reference at 8 dB on tests/golden/awgn8.iq).
+
+    This is the AFC discriminator, batched: one frame of per-symbol complex
+    tone correlations at the acquired grid; consecutive symbols where the
+    SAME tone dominates accumulate phase 2*pi*df*40/fs per symbol from any
+    residual offset df, so a power-weighted mean of the pairwise phase
+    increments reads df directly (~1000 usable pairs/frame -> sigma(df)
+    ~100 Hz at the FEC waterfall).  One extra symbol-rate pass over one
+    frame per acquisition — negligible next to the dense hunt.
+    """
+    seg = _slice_rows(samples, p0, _FS * _SPS)        # (C, spf) from sync
+    c = seg.shape[0]
+    freqs = jnp.stack([-CONFIG.freq_dev + freq_offset,
+                       CONFIG.freq_dev + freq_offset], axis=-1)    # (C, 2)
+    incs = (_TWO_PI / CONFIG.sample_rate) * freqs
+    t = jnp.arange(_SPS, dtype=jnp.float32)
+    e = jnp.exp(-1j * incs[:, None, :] * t[None, :, None])        # (C,40,2)
+    sym = seg.reshape(c, _FS, _SPS)
+    corr = jnp.einsum("cst,ctk->csk", sym, e.astype(seg.dtype))   # (C,S,2)
+    p = jnp.abs(corr) ** 2
+    dom = (p[..., 1] > p[..., 0]).astype(jnp.int32)               # 0:F1 1:F2
+    sel = jnp.where(dom[..., None] == 1, corr[..., 1:2], corr[..., 0:1])[..., 0]
+    same = (dom[:, 1:] == dom[:, :-1]).astype(jnp.float32)
+    pair = sel[:, 1:] * jnp.conj(sel[:, :-1])
+    # the per-symbol kernel restarts at phase 0 each symbol (unlike the
+    # reference's free-running NCO, opv-demod.cpp:231-252), so the pairwise
+    # phase still contains the dominant tone's own per-symbol advance
+    # (exactly +-pi/2 at dev = symbol_rate/4, plus the estimate) — rotate
+    # it out so only the residual df remains
+    adv = jnp.exp(-1j * incs * _SPS)                              # (C, 2)
+    adv_dom = jnp.where(dom[:, 1:] == 1, adv[:, 1:2], adv[:, 0:1])
+    pair = pair * adv_dom
+    w = same * jnp.minimum(p.max(-1)[:, 1:], p.max(-1)[:, :-1])
+    ang = jnp.arctan2((pair.imag * w).sum(-1), (pair.real * w).sum(-1))
+    df = ang * (CONFIG.sample_rate / (_TWO_PI * _SPS))
+    # the discriminator is unambiguous to +-fs/(2*sps) = +-27.1 kHz; clamp
+    # the CORRECTION to the reference's AFC authority (src/opv-demod.cpp:
+    # 303) so the all-noise degenerate case (w ~ 0 -> arbitrary angle)
+    # cannot fling the estimate outside the lock-tolerant band
+    df = jnp.clip(df, -CONFIG.afc_clamp_hz, CONFIG.afc_clamp_hz)
+    return (freq_offset + df).astype(jnp.float32)
 
 
 @jax.jit
@@ -406,7 +484,18 @@ def _locked_body(samples, p0, freq_offset, n_frames: int, scale=None):
     flat = payloads.reshape(-1, _EB)
     frames, metrics, ok = decode_payloads(flat)
     ok = ok.reshape(c, n_frames)
-    fv = ok & (q >= CONFIG.sync_locked_norm_thresh)
+    # frame validity with the reference's FLYWHEEL semantics
+    # (src/opv-demod.cpp:60, 697-713): a sub-threshold sync still emits its
+    # frame when any of the preceding sync_miss_limit slots re-checked OK
+    # (the locked state rides through up to 5 consecutive misses on the
+    # predicted grid).  Gather-free trailing-window max; at the FEC
+    # waterfall a single q dip below 0.70 on an otherwise-locked grid used
+    # to drop a perfectly decodable frame the reference keeps
+    # (tests/golden/awgn7.iq slot 9).
+    w = CONFIG.sync_miss_limit + 1
+    qp = jnp.pad(q, ((0, 0), (w - 1, 0)), constant_values=-jnp.inf)
+    q_trail = jnp.stack([qp[:, i:i + n_frames] for i in range(w)], 0).max(0)
+    fv = ok & (q_trail >= CONFIG.sync_locked_norm_thresh)
     return dict(
         frames=frames.reshape(c, n_frames, CONFIG.frame_bytes),
         metrics=metrics.reshape(c, n_frames),

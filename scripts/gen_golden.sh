@@ -101,4 +101,28 @@ out.tofile(sys.argv[2])
 EOF
 "$BUILD/bin/opv-demod" -s -r -q < "$OUT/drift.iq" > "$OUT/drift.frames"
 
+# 8. FEC-waterfall captures: 12 BERT frames at Eb/N0 = 7 dB and 8 dB
+#    (seeded), + the reference's decode of each — the knee where the
+#    reference measures ~2.3e-2 post-FEC BER (BASELINE.md row 6).  These
+#    pin frame-for-frame parity at the waterfall, not just at 10 dB.
+"$BUILD/bin/opv-mod" -S W5NYV -B 12 > "$BUILD/bert12.iq" 2>/dev/null
+for DB in 7 8; do
+python3 - "$BUILD/bert12.iq" "$OUT/awgn$DB.iq" "$DB" <<'EOF'
+import sys, numpy as np
+raw = np.fromfile(sys.argv[1], dtype="<i2").reshape(-1, 2)
+db = float(sys.argv[3])
+s = raw[:, 0].astype(np.float64) + 1j * raw[:, 1].astype(np.float64)
+sig_pow = np.mean(np.abs(s) ** 2)
+ebn0 = 10 ** (db / 10)
+noise_pow = sig_pow / (ebn0 / 40.0)           # Eb/N0 = per-sample SNR * sps
+rng = np.random.default_rng(int(db))
+s = s + (rng.standard_normal(len(s)) + 1j * rng.standard_normal(len(s))) * np.sqrt(noise_pow / 2)
+out = np.empty_like(raw)
+out[:, 0] = np.clip(np.trunc(s.real), -32768, 32767).astype(np.int16)
+out[:, 1] = np.clip(np.trunc(s.imag), -32768, 32767).astype(np.int16)
+out.astype("<i2").tofile(sys.argv[2])
+EOF
+"$BUILD/bin/opv-demod" -s -r -q < "$OUT/awgn$DB.iq" > "$OUT/awgn$DB.frames"
+done
+
 ls -l "$OUT"

@@ -50,10 +50,11 @@ class TestAwgnWaterfall:
         noisy = s + (rng.standard_normal(len(s))
                      + 1j * rng.standard_normal(len(s))) * np.sqrt(npow / 2)
         ber = _ber(_run_locked(noisy, n_frames), frames)
-        # reference measured ~2.3e-2 at 7 dB (BASELINE.md:23); allow seed
-        # variance but catch acquisition regressions (a one-frame-late lock
-        # scores ~0.25)
-        assert ber <= 0.05, f"7 dB BER {ber:.3e} exceeds reference envelope"
+        # reference measured ~2.3e-2 at 7 dB (BASELINE.md:23); the envelope
+        # allows seed variance but a regression past 1.3x the reference
+        # waterline now fails (VERDICT r2 weak #4 tightening; acquisition
+        # regressions score ~0.25)
+        assert ber <= 0.03, f"7 dB BER {ber:.3e} exceeds reference envelope"
 
     def test_10db_near_error_free(self, awgn_setup):
         from opv_tpu.config import CONFIG
@@ -68,3 +69,60 @@ class TestAwgnWaterfall:
         # few bits per 20 frames (this seed: 3/21440 post-FEC); bound it
         # well below the 7 dB waterline instead of pinning an exact zero
         assert ber <= 1e-3, f"10 dB BER {ber:.3e}, reference is ~error-free"
+
+
+class TestWaterfallHeadToHead:
+    """Locked-path BER vs the reference binary's on the SAME committed
+    waterfall captures (tests/golden/awgn{7,8}.iq, 12 seeded frames each,
+    decoded by the reference via scripts/gen_golden.sh).  The tracking path
+    reproduces the reference frame-for-frame (test_streaming waterfall
+    parity); here the production locked grid must also be no worse in
+    aggregate on identical noise."""
+
+    @staticmethod
+    def _truth():
+        from opv_tpu.core import build_bert_frame
+        return np.asarray(build_bert_frame("W5NYV", frame_num=np.arange(12)))
+
+    @staticmethod
+    def _seq_ber(seq, truth):
+        """BER of a CONTIGUOUS decoded-frame sequence vs the transmitted
+        frames, at the best single global alignment (acquisition may drop
+        leading frames: at 8 dB frame 0's first sync misses the hunt
+        threshold for BOTH implementations, so slot k holds transmitted
+        frame k+1).  Truth rows not covered by the sequence count fully
+        errored.  Per-frame counter-byte alignment would be fragile here —
+        at waterfall BER ~2e-2 the counter byte itself is corrupt in ~15%
+        of frames."""
+        total = truth.size * 8
+        if len(seq) == 0:
+            return 1.0
+        best = total
+        tb = np.unpackbits(truth, axis=1)
+        sb = np.unpackbits(np.asarray(seq, np.uint8), axis=1)
+        for d in range(0, len(truth) - len(seq) + 1):
+            errs = int((sb != tb[d:d + len(seq)]).sum())
+            errs += (len(truth) - len(seq)) * truth.shape[1] * 8
+            best = min(best, errs)
+        return best / total
+
+    @pytest.mark.parametrize("db", [7, 8])
+    def test_locked_ber_at_most_reference(self, golden_dir, db):
+        import jax.numpy as jnp
+        from opv_tpu.config import CONFIG
+        from opv_tpu.rx.locked import rx_locked
+        truth = self._truth()
+        ref_seq = np.frombuffer(
+            (golden_dir / f"awgn{db}.frames").read_bytes(),
+            dtype=np.uint8).reshape(-1, CONFIG.frame_bytes)
+        raw = np.fromfile(golden_dir / f"awgn{db}.iq",
+                          dtype="<i2").reshape(-1, 2)
+        s = (raw[:, 0].astype(np.float32)
+             + 1j * raw[:, 1].astype(np.float32)).astype(np.complex64)
+        out = rx_locked(jnp.asarray(s)[None, :], n_frames=12)
+        valid = np.asarray(out["frame_valid"])[0]
+        ours_seq = np.asarray(out["frames"])[0][valid]
+        ours = self._seq_ber(ours_seq, truth)
+        ref = self._seq_ber(ref_seq, truth)
+        assert ours <= ref, (f"{db} dB: locked BER {ours:.3e} worse than "
+                             f"reference {ref:.3e} on the same capture")

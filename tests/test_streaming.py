@@ -97,6 +97,25 @@ class TestStreaming:
         got = np.stack([np.frombuffer(r[0], dtype=np.uint8) for r in results])
         np.testing.assert_array_equal(got, golden)
 
+    @pytest.mark.parametrize("db", [7, 8])
+    def test_waterfall_parity_with_reference(self, golden_dir, db):
+        """FEC-waterfall captures (Eb/N0 = 7 and 8 dB, 12 frames, seeded —
+        the knee where the reference measures ~2.3e-2 post-FEC BER,
+        BASELINE.md row 6): the decoded frame SEQUENCE must match the
+        reference binary frame for frame, including which frames it loses
+        (both captures: 11 of 12) and every residual bit error pattern.
+        This pins waterfall behavior exactly, not just a BER envelope."""
+        samples = _load_iq(golden_dir / f"awgn{db}.iq")
+        golden = np.frombuffer(
+            (golden_dir / f"awgn{db}.frames").read_bytes(),
+            dtype=np.uint8).reshape(-1, CONFIG.frame_bytes)
+        assert len(golden) == 11         # the reference loses one frame here
+        sd = StreamingDemodulator()
+        results = sd.feed(samples)
+        results += sd.flush()
+        got = np.stack([np.frombuffer(r[0], dtype=np.uint8) for r in results])
+        np.testing.assert_array_equal(got, golden)
+
     def test_flywheel_sync_dropout_parity(self, golden_dir):
         """Frame 5's sync word is zeroed out; the LOCKED flywheel must keep
         collecting payload through the miss and decode all 8 frames, exactly
