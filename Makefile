@@ -6,12 +6,17 @@ MOD   = $(PY) -m opv_tpu.cli.opv_mod
 DEMOD = $(PY) -m opv_tpu.cli.opv_demod
 MODEM = $(PY) -m opv_tpu.cli.opv_modem
 
-.PHONY: all install test test-raw test-server test-server-send test-rx pytest bench
+.PHONY: all install native test test-raw test-server test-server-send test-rx pytest bench
 
 all: install
 
 install:
 	pip install -e . --no-build-isolation -q
+
+# build the C runtime extensions in place (_iqio sample I/O, _tracking
+# symbol loop); everything degrades gracefully to pure JAX without them
+native:
+	$(PY) setup.py build_ext --inplace
 
 # make test — BERT pipe loopback (reference Makefile:23-25)
 test:

@@ -23,20 +23,16 @@ from opv_tpu.rx.sync import (
 )
 
 
-def rx_block(samples: jnp.ndarray, n_valid, lstate: LoopState,
-             tstate: SyncTrackerState, hist: jnp.ndarray,
-             max_frames: int, afc_alpha=None, with_events: bool = False):
-    """Demod + sync + decode one fixed-capacity block of IQ.
+def rx_block_from_soft(soft: jnp.ndarray, sym_valid: jnp.ndarray,
+                       tstate: SyncTrackerState, hist: jnp.ndarray,
+                       max_frames: int, with_events: bool = False):
+    """Sync + decode from an already-demodulated soft-symbol block.
 
-    hist: (2144,) soft-symbol history from the previous block (zeros at
-    stream start).  Returns a dict of fixed-shape results + updated carries.
-    with_events=True adds per-symbol sync-lifecycle streams (events/
-    ev_misses/ev_frames/sync_raw/sync_norm) so streaming front-ends can
-    print the reference's transition diagnostics (src/opv-demod.cpp:651-706).
+    The seam between the symbol-tracking loop (JAX scan in rx/demod.py, or
+    the native C runtime in opv_tpu/runtime/tracking.c) and the batched
+    sync/FEC machinery — both front-ends feed this one program.
     """
     eb = CONFIG.encoded_bits
-    soft, sym_valid, lstate2, used = demodulate_block(
-        samples, n_valid, lstate, afc_alpha=afc_alpha)
     v = sym_valid.sum().astype(jnp.int32)
     soft_cat = jnp.concatenate([hist, soft])
     raw, norm = sync_correlate(soft_cat[eb - (CONFIG.sync_bits - 1):])
@@ -48,12 +44,31 @@ def rx_block(samples: jnp.ndarray, n_valid, lstate: LoopState,
     hist2 = jax.lax.dynamic_slice(soft_cat, (v,), (eb,))
     out = dict(
         frames=frames, metrics=metrics, frame_valid=ok & slot_valid,
-        sync_q=qs, t_idx=t_idx, n_symbols=v, samples_used=used,
+        sync_q=qs, t_idx=t_idx, n_symbols=v,
         soft=soft, sym_valid=sym_valid,
     )
     if with_events:
         out.update(events=events, ev_misses=ev_misses, ev_frames=ev_frames,
                    sync_raw=raw, sync_norm=norm)
+    return out, tstate2, hist2
+
+
+def rx_block(samples: jnp.ndarray, n_valid, lstate: LoopState,
+             tstate: SyncTrackerState, hist: jnp.ndarray,
+             max_frames: int, afc_alpha=None, with_events: bool = False):
+    """Demod + sync + decode one fixed-capacity block of IQ.
+
+    hist: (2144,) soft-symbol history from the previous block (zeros at
+    stream start).  Returns a dict of fixed-shape results + updated carries.
+    with_events=True adds per-symbol sync-lifecycle streams (events/
+    ev_misses/ev_frames/sync_raw/sync_norm) so streaming front-ends can
+    print the reference's transition diagnostics (src/opv-demod.cpp:651-706).
+    """
+    soft, sym_valid, lstate2, used = demodulate_block(
+        samples, n_valid, lstate, afc_alpha=afc_alpha)
+    out, tstate2, hist2 = rx_block_from_soft(
+        soft, sym_valid, tstate, hist, max_frames, with_events=with_events)
+    out["samples_used"] = used
     return out, lstate2, tstate2, hist2
 
 

@@ -30,11 +30,24 @@ class StreamingDemodulator:
 
     def __init__(self, init_offset: float | None = None,
                  afc_alpha: float = CONFIG.afc_alpha, dtype: str = "float64",
-                 chunk_samples: int | None = None, on_event=None):
+                 chunk_samples: int | None = None, on_event=None,
+                 backend: str = "auto"):
         """on_event(sym_idx, code, norm, raw, misses, frames): optional
         callback fired per sync-lifecycle transition (rx.sync.EV_* codes) —
         the reference's stderr diagnostics (src/opv-demod.cpp:651-706).
-        Enabling it adds the per-symbol event streams to the chunk fetch."""
+        Enabling it adds the per-symbol event streams to the chunk fetch.
+
+        backend: "auto" | "jax" | "native".  The serial AFC/TED symbol-
+        tracking loop is the one part of this pipeline a host CPU runs
+        faster as native code than as a lax.scan (~20 MS/s vs ~1.9; the
+        reference C++ does 4.77, BASELINE.md) — "native" routes it through
+        the _tracking C runtime (opv_tpu/runtime/tracking.c) and keeps the
+        batched sync/Viterbi/finishing stages in JAX
+        (rx/pipeline.py::rx_block_from_soft).  "auto" picks native when the
+        extension is built and the float64 parity dtype is in use (the
+        native loop is float64-only); decoded frames are identical at the
+        project's parity standard (golden suites run on both backends,
+        tests/test_native_tracking.py)."""
         self.chunk = chunk_samples or CONFIG.chunk_samples
         self.cap = self.chunk          # buffer is always <= one chunk
         self.rdtype = np.float64 if dtype == "float64" else np.float32
@@ -69,6 +82,36 @@ class StreamingDemodulator:
 
         self._chunk_fn = _chunk_fn
         self._cfo_fn = jax.jit(estimate_cfo)
+
+        from opv_tpu.runtime import HAVE_TRACKING, _tracking
+        if backend not in ("auto", "jax", "native"):
+            raise ValueError(f"unknown backend {backend!r}")
+        want_native = (backend == "native"
+                       or (backend == "auto" and HAVE_TRACKING))
+        if backend == "native" and not HAVE_TRACKING:
+            raise RuntimeError("_tracking C extension not built "
+                               "(python setup.py build_ext --inplace)")
+        # the native loop is double-precision (the parity numerics)
+        self.backend = ("native"
+                        if want_native and self.rdtype == np.float64
+                        else "jax")
+        if self.backend == "native":
+            self._track = _tracking.track_block
+            self._params = np.array(
+                [CONFIG.freq_dev, CONFIG.sample_rate, CONFIG.symbol_rate,
+                 CONFIG.alpha_timing, CONFIG.beta_timing,
+                 CONFIG.timing_freq_clamp, CONFIG.timing_adj_clamp,
+                 CONFIG.afc_clamp_hz, self.afc_alpha], np.float64)
+            self._maxs = max_symbols(self.cap)
+
+            from opv_tpu.rx.pipeline import rx_block_from_soft
+
+            @jax.jit
+            def _soft_fn(soft, sym_valid, tstate, hist):
+                return rx_block_from_soft(soft, sym_valid, tstate, hist, mf,
+                                          with_events=ev)
+
+            self._soft_fn = _soft_fn
 
     # -- public API ---------------------------------------------------------
 
@@ -137,11 +180,32 @@ class StreamingDemodulator:
                 freq_offset=jnp.asarray(est, self.rdtype))
             self._first = False
 
-        out, self.lstate, self.tstate, self.hist = self._chunk_fn(
-            jnp.asarray(self._buf), jnp.int32(n_valid),
-            self.lstate, self.tstate, self.hist)
-
-        used = int(out["samples_used"])
+        if self.backend == "native":
+            ls = self.lstate
+            st = np.array([float(ls.mu), float(ls.phase_f1),
+                           float(ls.phase_f2), float(ls.freq_offset),
+                           float(ls.timing_freq),
+                           float(ls.prev_c1.real), float(ls.prev_c1.imag),
+                           float(ls.prev_c2.real), float(ls.prev_c2.imag)],
+                          np.float64)
+            soft_b, nsym, st_b, used = self._track(
+                self._buf, int(n_valid), st, self._params, self._maxs)
+            stn = np.frombuffer(st_b, np.float64)
+            self.lstate = type(ls)(
+                mu=jnp.float64(stn[0]), phase_f1=jnp.float64(stn[1]),
+                phase_f2=jnp.float64(stn[2]), freq_offset=jnp.float64(stn[3]),
+                timing_freq=jnp.float64(stn[4]),
+                prev_c1=jnp.complex128(stn[5] + 1j * stn[6]),
+                prev_c2=jnp.complex128(stn[7] + 1j * stn[8]))
+            soft = jnp.asarray(np.frombuffer(soft_b, np.float64))
+            sym_valid = jnp.arange(self._maxs) < nsym
+            out, self.tstate, self.hist = self._soft_fn(
+                soft, sym_valid, self.tstate, self.hist)
+        else:
+            out, self.lstate, self.tstate, self.hist = self._chunk_fn(
+                jnp.asarray(self._buf), jnp.int32(n_valid),
+                self.lstate, self.tstate, self.hist)
+            used = int(out["samples_used"])
         nsym = int(out["n_symbols"])
         # NB: deliberately counts the carried-over leftover samples again —
         # the reference does the same (total_samples += chunk_buf.size(),

@@ -7,6 +7,12 @@ setup(
             sources=["opv_tpu/runtime/iqio.c"],
             extra_compile_args=["-O3"],
             optional=True,   # pure-python/numpy fallback exists
-        )
+        ),
+        Extension(
+            "opv_tpu.runtime._tracking",
+            sources=["opv_tpu/runtime/tracking.c"],
+            extra_compile_args=["-O3"],
+            optional=True,   # the JAX scan path is the fallback
+        ),
     ]
 )
