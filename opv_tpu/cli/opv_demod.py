@@ -51,7 +51,11 @@ def main(argv=None) -> int:
     ap.add_argument("--device", default="cpu")
     ap.add_argument("--metrics", dest="metrics_file", default=None,
                     help="write JSON-lines metrics snapshots to FILE "
-                         "('-' for stderr)")
+                         "('-' for stderr); with --fast this includes the "
+                         "per-block device-wait vs host-lifecycle split")
+    ap.add_argument("--profile", dest="profile_dir", default=None,
+                    help="write a jax.profiler trace of the streaming run "
+                         "to DIR (open with TensorBoard / xprof)")
     args = ap.parse_args(argv)
 
     if args.help:
@@ -95,18 +99,23 @@ def main(argv=None) -> int:
     if args.streaming and args.fast:
         from opv_tpu.stream import LockedStreamDemodulator
         for flag, name in ((args.init_offset is not None, "-o"),
-                           (args.afc_bw != 0.001, "-a"),
-                           (args.metrics_file, "--metrics")):
+                           (args.afc_bw != 0.001, "-a")):
             if flag:
                 print(f"Warning: {name} is ignored in --fast streaming mode "
                       f"(feed-forward pipeline re-estimates CFO on "
                       f"acquisition and has no AFC loop)", file=err)
         nch = max(1, args.channels)
+        metrics_out = None
+        if args.metrics_file:
+            from opv_tpu.utils.metrics import emit_json, locked_metrics
+            metrics_out = (sys.stderr if args.metrics_file == "-"
+                           else open(args.metrics_file, "w"))
         # pipelined: block N computes while block N-1's results are being
         # fetched/printed — output is tuple-identical to the synchronous
         # driver and the CLI never checkpoints mid-stream
         mc = LockedStreamDemodulator(channels=nch, pipeline=True,
-                                     dtype=args.buf)
+                                     dtype=args.buf,
+                                     timing=metrics_out is not None)
         n_samples = 0
         carry = b""
         # each multichannel sample instant is nch interleaved IQ pairs
@@ -122,19 +131,36 @@ def main(argv=None) -> int:
                     print(f"[ch {c}]", file=err)
                 emit_frame(n_emitted, fb, metric, q)
 
-        while True:
-            buf = stdin.read(65536 * 16)
-            if not buf:
-                break
-            buf = carry + buf
-            usable = len(buf) - len(buf) % quantum
-            carry = buf[usable:]
-            # wire-form (C, n, 2) float32 feed: no complex materialization
-            # from stdin to the correlation matmul (see io/iq.py)
-            x = iq_bytes_to_f32_pairs(buf[:usable], channels=nch)
-            n_samples += x.shape[0] * x.shape[1]
-            handle(mc.feed(x))
-        handle(mc.flush())
+        import contextlib
+        prof = contextlib.nullcontext()
+        if args.profile_dir:
+            import jax
+            prof = jax.profiler.trace(args.profile_dir)
+        with prof:
+            while True:
+                buf = stdin.read(65536 * 16)
+                if not buf:
+                    break
+                buf = carry + buf
+                usable = len(buf) - len(buf) % quantum
+                carry = buf[usable:]
+                # wire-form (C, n, 2) float32 feed: no complex
+                # materialization from stdin to the correlation matmul
+                x = iq_bytes_to_f32_pairs(buf[:usable], channels=nch)
+                n_samples += x.shape[0] * x.shape[1]
+                blocks_before = len(mc.block_stats)
+                handle(mc.feed(x))
+                if metrics_out is not None and \
+                        len(mc.block_stats) > blocks_before:
+                    emit_json(locked_metrics(mc, nch, n_samples),
+                              metrics_out)
+            handle(mc.flush())
+        if metrics_out is not None:
+            m = locked_metrics(mc, nch, n_samples)
+            m["final"] = True
+            emit_json(m, metrics_out)
+            if metrics_out is not sys.stderr:
+                metrics_out.close()
         if not args.quiet:
             summary(mc.decoded, mc.perfect,
                     n_samples / nch / CONFIG.sample_rate,

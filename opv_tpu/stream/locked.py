@@ -59,6 +59,7 @@ samples) pends until the next feed.
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 
@@ -116,7 +117,7 @@ class LockedStreamDemodulator:
     def __init__(self, channels: int, block_frames: int = 4,
                  dtype: str = "auto", pipeline: bool = False,
                  agc: bool = True, mesh=None,
-                 single_frame_burst: bool = True):
+                 single_frame_burst: bool = True, timing: bool = False):
         """dtype: buffer element type for the (C, window/40, 80) window-row
         buffer — "float32", "bfloat16", "int8", or "auto" (int8 on TPU,
         else float32).  bf16 halves buffer HBM and the steady matmul's
@@ -392,6 +393,17 @@ class LockedStreamDemodulator:
 
         self.pipeline = bool(pipeline)
         self._pending = None            # in-flight block (pipeline mode)
+        #: per-block device/host time split (SURVEY.md section 5 tracing
+        #: row): timing=True records, for every resolved block, the program
+        #: tag (steady/steady_x/reacquire), the time spent waiting on the
+        #: device result (device compute + fetch; in pipeline mode the
+        #: overlap makes this the EXPOSED wait, which is the number an
+        #: operator needs), and the host lifecycle time.  Read via
+        #: block_stats (list of dicts) or stats() (aggregate); the demod
+        #: CLI surfaces both under --metrics and can wrap the whole run in
+        #: a jax.profiler.trace via --profile DIR.
+        self.timing = bool(timing)
+        self.block_stats: list = []
         #: emit an isolated single-frame burst's frame without locking
         #: (rx/locked.py hunt_grid docstring) — reference semantics
         #: (opv-demod.cpp:657-680) minus the false-lock cost.  Off: such
@@ -550,6 +562,8 @@ class LockedStreamDemodulator:
                        base):
         """Fetch one block's results and run the host sync lifecycle."""
         jnp = self._jnp
+        t_res = time.monotonic() if self.timing else None
+        self._fetch_ms = 0.0
         if tag == "reacquire":
             self.reacquisitions += 1
         self._want_refresh[:] = False
@@ -581,6 +595,12 @@ class LockedStreamDemodulator:
         if self._agc and (self._blocks % self._AGC_BLOCKS == 0
                           or not self.locked.all()):
             self._agc_update()
+        if t_res is not None:
+            total_ms = (time.monotonic() - t_res) * 1e3
+            self.block_stats.append(dict(
+                tag=tag,
+                device_wait_ms=round(self._fetch_ms, 3),
+                host_ms=round(total_ms - self._fetch_ms, 3)))
         return results
 
     def _advance_window(self, keep_buf: bool = False):
@@ -708,12 +728,15 @@ class LockedStreamDemodulator:
         window has already advanced, so it passes the block's own base)."""
         if base is None:
             base = self._abs_base
+        t_fetch = time.monotonic() if self.timing else None
         # ONE batched fetch for the whole result pytree: device_get issues
         # copy_to_host_async on every leaf before gathering, so the seven
         # arrays cross the link concurrently instead of as seven serial
         # round trips (the axon tunnel's RTT makes serial fetches the
         # streaming driver's dominant host cost)
         out = self._jax.device_get(out)
+        if t_fetch is not None:
+            self._fetch_ms += (time.monotonic() - t_fetch) * 1e3
         burst_only = out.get("burst_only")   # reacquire blocks only
         q = out["sync_q"]
         raw = out["sync_raw"]
@@ -796,6 +819,30 @@ class LockedStreamDemodulator:
                                     int(metrics[c, k]), float(q[c, k]),
                                     base + pos))
         return results
+
+
+    def stats(self) -> dict:
+        """Aggregate the per-block timing records (timing=True): block
+        counts by program tag, device-wait vs host-lifecycle ms split
+        (mean/max), plus the driver's lifecycle counters — the per-stage
+        observability SURVEY.md section 5 asks for."""
+        out = dict(decoded=self.decoded, perfect=self.perfect,
+                   reacquisitions=self.reacquisitions,
+                   refreshes=self.refreshes)
+        if not self.block_stats:
+            return out
+        tags: dict = {}
+        for b in self.block_stats:
+            tags[b["tag"]] = tags.get(b["tag"], 0) + 1
+        dw = [b["device_wait_ms"] for b in self.block_stats]
+        hm = [b["host_ms"] for b in self.block_stats]
+        out.update(
+            blocks=len(dw), blocks_by_program=tags,
+            device_wait_ms_mean=round(sum(dw) / len(dw), 3),
+            device_wait_ms_max=round(max(dw), 3),
+            host_ms_mean=round(sum(hm) / len(hm), 3),
+            host_ms_max=round(max(hm), 3))
+        return out
 
     # ------------------------------------------------------------------ #
     # checkpoint/resume (stream/state.py)

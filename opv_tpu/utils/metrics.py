@@ -30,6 +30,25 @@ def demod_metrics(sd) -> dict:
     }
 
 
+def locked_metrics(mc, channels: int | None = None,
+                   n_samples: int | None = None) -> dict:
+    """Snapshot a LockedStreamDemodulator as a flat metrics dict, including
+    the per-block device-wait vs host-lifecycle split when the driver was
+    built with timing=True (SURVEY.md section 5 tracing row)."""
+    from opv_tpu.config import CONFIG
+    m = {"ts": time.time(), "engine": "locked"}
+    if channels:
+        m["channels"] = channels
+    if n_samples is not None and channels:
+        m["samples_per_chan"] = n_samples // channels
+        m["seconds"] = n_samples / channels / CONFIG.sample_rate
+    m.update(mc.stats())
+    if mc.block_stats:
+        m["last_block"] = mc.block_stats[-1]
+    m["locked_channels"] = int(mc.locked.sum())
+    return m
+
+
 def emit_json(metrics: dict, out=sys.stderr) -> None:
     print(json.dumps(metrics, default=float), file=out, flush=True)
 

@@ -397,6 +397,40 @@ class TestBufferDtype:
                 (dt_a, dt_b)
 
 
+class TestTimingMetrics:
+    """timing=True: per-block device-wait vs host-lifecycle split — the
+    per-stage observability SURVEY.md section 5 asks for (VERDICT r2
+    item 7).  The CLI surfaces this via opv-demod --fast --metrics."""
+
+    def test_block_stats_and_metrics_fields(self):
+        s, frames = _signal(6)
+        sd = LockedStreamDemodulator(1, block_frames=2, timing=True)
+        out = _run(sd, s[None, :])
+        assert len(out) == 6 and sd.block_stats
+        for b in sd.block_stats:
+            assert set(b) == {"tag", "device_wait_ms", "host_ms"}
+            assert b["tag"] in ("steady", "steady_x", "reacquire")
+            assert b["device_wait_ms"] >= 0 and b["host_ms"] >= 0
+        assert sd.block_stats[0]["tag"] == "reacquire"   # initial hunt
+        st = sd.stats()
+        for k in ("blocks", "blocks_by_program", "device_wait_ms_mean",
+                  "device_wait_ms_max", "host_ms_mean", "host_ms_max",
+                  "decoded", "reacquisitions"):
+            assert k in st, k
+        assert st["blocks"] == len(sd.block_stats)
+        from opv_tpu.utils.metrics import locked_metrics
+        m = locked_metrics(sd, 1, s.shape[0])
+        assert m["engine"] == "locked" and "last_block" in m
+        assert m["locked_channels"] == 1
+        assert st["blocks_by_program"].get("steady", 0) >= 1
+
+    def test_timing_off_by_default(self):
+        s, _ = _signal(3)
+        sd = LockedStreamDemodulator(1, block_frames=2)
+        _run(sd, s[None, :])
+        assert sd.block_stats == []
+
+
 class TestBurstSalvage:
     """Isolated single-frame bursts: the hunt's next-frame verification
     cannot confirm them (nothing follows), so the reacquire program flags
