@@ -121,7 +121,7 @@ def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray):
 
 
 def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
-                       nsym: int, scale=None) -> jnp.ndarray:
+                       nsym: int, scale=None, frac=None) -> jnp.ndarray:
     """Symbol-grid tone correlation at per-channel phase r — NO dynamic
     slicing at all.
 
@@ -176,7 +176,18 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
     int8 step.  None means the fixed wire-full-scale INT8_SCALE; streaming
     drivers with AGC (stream/locked.py) pass their adapted per-channel
     scale so deep-low-SNR noise excursions are not soft-clipped by the
-    fixed full-scale step."""
+    fixed full-scale step.
+
+    `frac`: per-channel (C,) fractional-sample timing in [0, 1) — the
+    correlation of the LINEARLY-INTERPOLATED stream at offset r + frac.
+    By linearity it is exactly a BLEND OF THE TWO MASK KERNELS
+    ((1-frac) * kernel(r) + frac * kernel(r+1)), so sub-sample timing
+    costs ZERO extra matmul work: the boundary tap t == r gets weight
+    (1-frac) on the tail side and frac on the head side.  (The blend's
+    f-term carries a spurious e^{-j*inc} ~ 0.04 rad reference-phase
+    rotation vs true interpolation — a <0.1% soft-power effect, far under
+    the ~1.25%/0.5-sample triangular-ACF loss this recovers.)  None = 0:
+    integer-grid timing, the pre-round-3 behavior."""
     c = samples.shape[0]
     windowed = samples.ndim == 3 and samples.shape[-1] == 2 * _SPS
     interleaved = samples.ndim == 3 and not windowed
@@ -191,10 +202,17 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
     incs = (_TWO_PI / CONFIG.sample_rate) * freqs
     i = jnp.arange(_SPS, dtype=incs.dtype)
     e = jnp.exp(-1j * incs[:, None, :] * i[None, :, None]).astype(cplx_dt)
-    tail = (jnp.arange(_SPS, dtype=jnp.int32)[None, :]
-            >= r[:, None])[:, :, None]                            # t >= r
-    kern = jnp.concatenate([jnp.where(tail, e, 0),
-                            jnp.where(tail, 0, e)], axis=-1)      # (C, 40, 4)
+    t_idx = jnp.arange(_SPS, dtype=jnp.int32)[None, :]
+    if frac is None:
+        tail_w = (t_idx >= r[:, None]).astype(real_dt)[:, :, None]
+    else:
+        f = frac.astype(real_dt)[:, None]
+        # t > r: 1;  t == r: 1-frac;  t < r: 0  (see docstring)
+        tail_w = jnp.where(t_idx > r[:, None], 1.0,
+                           jnp.where(t_idx == r[:, None], 1.0 - f, 0.0)
+                           )[:, :, None].astype(real_dt)
+    kern = jnp.concatenate([tail_w * e,
+                            (1.0 - tail_w) * e], axis=-1)         # (C, 40, 4)
     if windowed:
         sym_f = samples[:, : nsym + 1, :]
     elif interleaved:
@@ -234,7 +252,8 @@ def _symbol_soft_batch(samples: jnp.ndarray, r: jnp.ndarray, freq_offset,
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
 def rx_locked_steady(samples: jnp.ndarray, p0: jnp.ndarray,
-                     freq_offset: jnp.ndarray, n_frames: int, scale=None):
+                     freq_offset: jnp.ndarray, n_frames: int, scale=None,
+                     frac=None):
     """Steady-state hot loop: grid already acquired (p0 known), CFO known.
 
     This is the per-block production path: blocks that advance by an exact
@@ -247,14 +266,15 @@ def rx_locked_steady(samples: jnp.ndarray, p0: jnp.ndarray,
     as sync_q collapsing; stream.locked.LockedStreamDemodulator watches the
     per-frame q and drives rx_locked_reacquire for the channels that lost it.
     `scale`: per-channel int8 quantization step (see _symbol_soft_batch).
+    `frac`: per-channel fractional-sample timing (see _symbol_soft_batch).
     """
-    return _locked_body(samples, p0, freq_offset, n_frames, scale)
+    return _locked_body(samples, p0, freq_offset, n_frames, scale, frac)
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
 def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
                         freq_offset_old: jnp.ndarray, keep: jnp.ndarray,
-                        n_frames: int):
+                        n_frames: int, frac_old=None):
     """Selective re-acquisition: re-hunt only the channels that lost lock.
 
     Mirrors the reference's LOCKED -> HUNTING fallback
@@ -293,8 +313,18 @@ def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
     cfo_new = refine_cfo_locked(seg, jnp.zeros_like(p0), cfo_new)
     cfo_new = refine_cfo_locked(seg, jnp.zeros_like(p0), cfo_new)
     freq_offset = jnp.where(keep, freq_offset_old, cfo_new)
-    out = _locked_body(samples, p0, freq_offset, n_frames)
+    # multi-frame-averaged sub-sample timing for the NEWLY acquired grids
+    # (kept channels retain their carried frac)
+    if frac_old is None:
+        frac_old = jnp.zeros(samples.shape[0], jnp.float32)
+    p0_r, frac_new = refine_timing_locked(samples, p0, freq_offset,
+                                          n_frames=n_frames)
+    acquired = ~keep & (found | found_u)
+    p0 = jnp.where(acquired, p0_r, p0)
+    frac = jnp.where(acquired, frac_new, frac_old.astype(jnp.float32))
+    out = _locked_body(samples, p0, freq_offset, n_frames, frac=frac)
     out["burst_only"] = burst_only
+    out["frac"] = frac
     return out
 
 
@@ -346,7 +376,13 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
         freq_offset = refine_cfo_locked(samples, p0, freq_offset)
         p0 = acquire(freq_offset)
         freq_offset = refine_cfo_locked(samples, p0, freq_offset)
-    return _locked_body(samples, p0, freq_offset, n_frames)
+    # multi-frame-averaged sub-sample timing (refine_timing_locked): fold
+    # over at most 16 frame intervals — sqrt(16) noise averaging is already
+    # past the point of diminishing returns, and the folding slabs unroll
+    # statically
+    p0, frac = refine_timing_locked(samples, p0, freq_offset,
+                                    n_frames=min(n_frames, 16))
+    return _locked_body(samples, p0, freq_offset, n_frames, frac=frac)
 
 
 @jax.jit
@@ -401,6 +437,71 @@ def refine_cfo_locked(samples: jnp.ndarray, p0: jnp.ndarray,
     # cannot fling the estimate outside the lock-tolerant band
     df = jnp.clip(df, -CONFIG.afc_clamp_hz, CONFIG.afc_clamp_hz)
     return (freq_offset + df).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def refine_timing_locked(samples: jnp.ndarray, p0: jnp.ndarray,
+                         freq_offset: jnp.ndarray, n_frames: int):
+    """Multi-frame-averaged sub-sample timing at the locked grid.
+
+    The hunt/acquire peak is a SINGLE sync correlation's argmax: at the FEC
+    waterfall its position jitters by a few samples (measured: 3 samples at
+    7 dB), and the integrate-and-dump correlation loses ~tau/40 amplitude
+    per sample of offset — ~0.34 dB, worth ~2-3x BER on the 10x/dB
+    waterfall slope.  The reference's per-symbol TED converges this away
+    (src/opv-demod.cpp:270-286); the grid path instead FOLDS the dense sync
+    correlation across every frame interval in the window (noise averages
+    down ~sqrt(F)) and refines the folded peak to sub-sample resolution by
+    parabolic interpolation.
+
+    Returns ((C,) p0_refined int32, (C,) frac in [0, 1)) such that the true
+    sync position is p0_refined + frac; feed frac to the soft stage's
+    blended kernel (_symbol_soft_batch).  Cost: n_frames slabs of ~1.7k
+    samples of dense correlation per channel — a few % of one dense hunt.
+    """
+    c = samples.shape[0]
+    half = _SPS // 2
+    n_off = 2 * half + 1                          # +-20 samples around p0
+    # slab: offsets + the sync correlation's own 24-symbol reach + interp
+    slab_len = n_off + (_SB - 1) * _SPS + _SPS + 8
+    base = jnp.maximum(p0 - half, 0)              # a p0 < 20 slab would
+    slabs = []                                    # otherwise clamp-shift
+    for k in range(n_frames):                     # static unroll: one
+        slabs.append(_slice_rows(                 # concatenated dense pass
+            samples, base + k * _FS * _SPS, slab_len))
+    # zero-pad past the correlators' valid-trim (39-sample tone window +
+    # 920-sample dilated sync reach) so raw covers every slab position; the
+    # padding only touches the last slab's offsets beyond n_off, never read
+    cat = jnp.concatenate(slabs + [jnp.zeros((c, 1024), slabs[0].dtype)],
+                          axis=1)
+    soft = dense_soft(cat, freq_offset)
+    raw, _ = dense_sync(soft)
+    raw = raw[:, : n_frames * slab_len].reshape(c, n_frames, slab_len)
+    fold = raw[:, :, :n_off + 2].sum(axis=1)      # (C, n_off+2)
+    # The int16 MSK waveform's dense correlation is pairwise-equal in
+    # adjacent offsets (a genuine 2-sample apex plateau — verified against
+    # brute-force dots, tests/test_locked.py::test_timing_refinement_*).
+    # Summing adjacent bins ([1,1] smoothing) removes the stair pairing
+    # and restores curvature at the apex, so the argmax + parabola are
+    # well-conditioned; smoothed bin j centers on offset j + 0.5.
+    fold = fold[:, :-1] + fold[:, 1:]             # (C, n_off+1)
+    # peak restricted to [1, n_off-1] so the parabolic neighbors exist
+    idx = jnp.arange(fold.shape[-1], dtype=jnp.int32)[None, :]
+    inner = (idx >= 1) & (idx <= n_off - 1)
+    pk = jnp.argmax(jnp.where(inner, fold, -jnp.inf), axis=-1).astype(jnp.int32)
+    # gather-free neighbor extraction (one-hot masked sums)
+    oh = idx == pk[:, None]
+    r0 = (fold * oh).sum(-1)
+    rm = (fold * (idx == pk[:, None] - 1)).sum(-1)
+    rp = (fold * (idx == pk[:, None] + 1)).sum(-1)
+    denom = rm - 2.0 * r0 + rp
+    delta = jnp.where(jnp.abs(denom) > 1e-30,
+                      0.5 * (rm - rp) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5) + 0.5      # smoothed-bin center
+    pos = base + pk.astype(jnp.int32)             # integer peak
+    p0r = pos + jnp.floor(delta).astype(jnp.int32)
+    frac = (delta - jnp.floor(delta)).astype(jnp.float32)
+    return p0r, frac
 
 
 @jax.jit
@@ -467,7 +568,8 @@ def _extract_frames(soft: jnp.ndarray, k0: jnp.ndarray, n_frames: int):
     return payloads, q, raw
 
 
-def _locked_body(samples, p0, freq_offset, n_frames: int, scale=None):
+def _locked_body(samples, p0, freq_offset, n_frames: int, scale=None,
+                 frac=None):
     c = samples.shape[0]
     if samples.ndim == 3 and samples.shape[-1] == 2 * _SPS:
         n = samples.shape[1] * _SPS       # windowed (C, M, 80) rows
@@ -477,7 +579,8 @@ def _locked_body(samples, p0, freq_offset, n_frames: int, scale=None):
     r = p0 % _SPS
     k0 = (p0 - r) // _SPS                 # symbol index of the sync start
     nsym = (n - _SPS) // _SPS
-    soft = _symbol_soft_batch(samples, r, freq_offset, nsym, scale)  # (C,ns)
+    soft = _symbol_soft_batch(samples, r, freq_offset, nsym, scale,
+                              frac)                               # (C,ns)
 
     payloads, q, raw = _extract_frames(soft, k0, n_frames)
 
@@ -501,5 +604,7 @@ def _locked_body(samples, p0, freq_offset, n_frames: int, scale=None):
         metrics=metrics.reshape(c, n_frames),
         frame_valid=fv, sync_q=q, sync_raw=raw, decode_ok=ok, p0=p0,
         freq_offset=freq_offset,
+        frac=(frac.astype(jnp.float32) if frac is not None
+              else jnp.zeros(c, jnp.float32)),
         n_decoded=fv.sum(),
     )

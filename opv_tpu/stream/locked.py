@@ -226,7 +226,7 @@ class LockedStreamDemodulator:
         OUT = dict(frames=P("ch", None, None), metrics=P("ch", None),
                    frame_valid=P("ch", None), sync_q=P("ch", None),
                    sync_raw=P("ch", None), decode_ok=P("ch", None),
-                   p0=CH, freq_offset=CH, n_decoded=P())
+                   p0=CH, freq_offset=CH, frac=CH, n_decoded=P())
 
         if dtype == "auto":
             # TPU production default: int8 + AGC.  Same decoded frames as
@@ -288,6 +288,7 @@ class LockedStreamDemodulator:
 
         # per-channel lock state (host side: tiny, drives which program runs)
         self.p0 = np.zeros(channels, np.int32)
+        self.frac = np.zeros(channels, np.float32)   # sub-sample timing
         self.freq_offset = np.zeros(channels, np.float32)
         self.locked = np.zeros(channels, bool)
         self.miss = np.zeros(channels, np.int32)    # consecutive sync misses
@@ -302,22 +303,25 @@ class LockedStreamDemodulator:
 
         bf = block_frames
 
-        def steady(buf, p0, foff, scale):
+        def steady(buf, p0, foff, scale, frac):
             return globalize(rx_locked_steady(buf, p0, foff, n_frames=bf,
-                                              scale=scale if int8 else None))
+                                              scale=scale if int8 else None,
+                                              frac=frac))
 
-        def steady_x(buf, p0, foff, scale):
+        def steady_x(buf, p0, foff, scale, frac):
             # one extra slot: used on drift-wrap blocks, where a channel's
             # grid steps back across the window start and the straddling
             # frame (still fully inside this window's overlap) must be
             # emitted before the grid advances a frame (see _process)
             return globalize(rx_locked_steady(buf, p0, foff,
                                               n_frames=bf + 1,
-                                              scale=scale if int8 else None))
+                                              scale=scale if int8 else None,
+                                              frac=frac))
 
-        def reacquire(buf, p0, foff, keep, scale):
+        def reacquire(buf, p0, foff, keep, scale, frac):
             return globalize(rx_locked_reacquire(_cplx(buf, scale), p0, foff,
-                                                 keep, n_frames=bf))
+                                                 keep, n_frames=bf,
+                                                 frac_old=frac))
 
         sps = self.sps
 
@@ -360,10 +364,10 @@ class LockedStreamDemodulator:
         self._conv = jit_s(conv, (PRS, CH), PRS)
         self._int8 = int8
         self._int8_scale = INT8_SCALE
-        self._steady = jit_s(steady, (BUF, CH, CH, CH), OUT)
-        self._steady_x = jit_s(steady_x, (BUF, CH, CH, CH), OUT)
+        self._steady = jit_s(steady, (BUF, CH, CH, CH, CH), OUT)
+        self._steady_x = jit_s(steady_x, (BUF, CH, CH, CH, CH), OUT)
         OUT_R = dict(OUT, burst_only=CH)   # reacquire adds the salvage flag
-        self._reacquire = jit_s(reacquire, (BUF, CH, CH, CH, CH), OUT_R)
+        self._reacquire = jit_s(reacquire, (BUF, CH, CH, CH, CH, CH), OUT_R)
         self._append = jit_s(append, (BUF, P(), PRS, CH), BUF,
                              donate_argnums=(0,))
         self._append_c = jit_s(append_c, (BUF, P(), CHN, CH), BUF,
@@ -541,12 +545,17 @@ class LockedStreamDemodulator:
             moved = delta != 0
             self.refreshes += int(moved.sum())
             self.metric_ema[moved] = np.nan  # fresh grid -> fresh baseline
+            # the integer retime centers the grid on the drifted peak;
+            # the old sub-sample frac no longer applies (error <= 0.5
+            # sample afterwards, same as a fresh integer acquisition)
+            self.frac[moved] = 0.0
         self.refresh[:] = False
 
         if self.locked.all():
             run = self._steady_x if wrap.any() else self._steady
             out = run(buf, self._put(self.p0),
-                      self._put(self.freq_offset), self._scale)
+                      self._put(self.freq_offset), self._scale,
+                      self._put(self.frac))
             tag = "steady"
         else:
             # mixed lock states never use the extra-slot program; a wrap
@@ -554,7 +563,8 @@ class LockedStreamDemodulator:
             # straddler (rare corner; the grid still corrects)
             out = self._reacquire(buf, self._put(self.p0),
                                   self._put(self.freq_offset),
-                                  self._put(self.locked), self._scale)
+                                  self._put(self.locked), self._scale,
+                                  self._put(self.frac))
             tag = "reacquire"
         return out, wrap, p0_wrapped, tag
 
@@ -582,7 +592,8 @@ class LockedStreamDemodulator:
             self.reacquisitions += 1
             out2 = self._reacquire(buf, self._put(self.p0),
                                    self._put(self.freq_offset),
-                                   self._put(~dropped), self._scale)
+                                   self._put(~dropped), self._scale,
+                                   self._put(self.frac))
             results.extend(self._emit(out2, valid_limit, only=dropped,
                                       min_pos=self._dropped_at, base=base))
         self.refresh = self._want_refresh & self.locked
@@ -674,13 +685,16 @@ class LockedStreamDemodulator:
                                    self._put(prev["p0w"]), p0_dev)
             p0_dev = p0_dev % self.spf
             foff_dev = prev["out"]["freq_offset"]
+            frac_dev = prev["out"]["frac"]
             if pred_locked.all():
-                o = self._steady(self._buf, p0_dev, foff_dev, self._scale)
+                o = self._steady(self._buf, p0_dev, foff_dev, self._scale,
+                                 frac_dev)
                 launched = (o, np.zeros(self.channels, bool), self.p0,
                             "steady")
             else:
                 o = self._reacquire(self._buf, p0_dev, foff_dev,
-                                    self._put(pred_locked), self._scale)
+                                    self._put(pred_locked), self._scale,
+                                    frac_dev)
                 launched = (o, np.zeros(self.channels, bool), self.p0,
                             "reacquire")
         # resolve the previous block (fetch overlaps the launched compute)
@@ -745,11 +759,13 @@ class LockedStreamDemodulator:
         frames = out["frames"]
         p0 = out["p0"]
         foff = out["freq_offset"]
+        frac = out["frac"]
         chans = range(self.channels) if only is None else np.flatnonzero(only)
         self._dropped_at = np.zeros(self.channels, np.int64)
         for c in chans:
             self.p0[c] = p0[c]
             self.freq_offset[c] = foff[c]
+            self.frac[c] = frac[c]
 
         vlim = self.window if valid_limit is None else valid_limit
         # a frame is OWNED by this block only if its sync starts before the
@@ -866,7 +882,8 @@ class LockedStreamDemodulator:
             buf=self._buf, count=np.int64(self._count),
             pend=pend, pend_len=np.int64(pend_len),
             abs_base=np.int64(self._abs_base),
-            p0=self.p0, freq_offset=self.freq_offset,
+            p0=self.p0, frac=self.frac.copy(),
+            freq_offset=self.freq_offset,
             locked=self.locked, miss=self.miss, refresh=self.refresh,
             metric_ema=self.metric_ema,
             scale=self._scale_np.copy(),
@@ -923,6 +940,8 @@ class LockedStreamDemodulator:
             self._pend = jnp.asarray(tree["pend"])[:, :p].astype(self._wire)
         self._abs_base = int(tree["abs_base"])
         self.p0 = np.asarray(tree["p0"], np.int32)
+        self.frac = np.asarray(tree.get("frac",
+                                        np.zeros(self.channels)), np.float32)
         self.freq_offset = np.asarray(tree["freq_offset"], np.float32)
         self.locked = np.asarray(tree["locked"], bool)
         self.miss = np.asarray(tree["miss"], np.int32)
