@@ -377,11 +377,13 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
         p0 = acquire(freq_offset)
         freq_offset = refine_cfo_locked(samples, p0, freq_offset)
     # multi-frame-averaged sub-sample timing (refine_timing_locked): fold
-    # over at most 16 frame intervals — sqrt(16) noise averaging is already
-    # past the point of diminishing returns, and the folding slabs unroll
-    # statically
+    # over at most 64 frame intervals (the slabs unroll statically; 64
+    # slabs of ~1k samples are still a few % of one dense hunt).  At the
+    # 7 dB waterfall the fold's residual wobble is the locked path's whole
+    # remaining deficit vs the reference (~0.05 dB = ~12% BER on the
+    # 10x/dB slope), so deeper averaging pays until the capture runs out.
     p0, frac = refine_timing_locked(samples, p0, freq_offset,
-                                    n_frames=min(n_frames, 16))
+                                    n_frames=min(n_frames, 64))
     return _locked_body(samples, p0, freq_offset, n_frames, frac=frac)
 
 
@@ -466,9 +468,15 @@ def refine_timing_locked(samples: jnp.ndarray, p0: jnp.ndarray,
     slab_len = n_off + (_SB - 1) * _SPS + _SPS + 8
     base = jnp.maximum(p0 - half, 0)              # a p0 < 20 slab would
     slabs = []                                    # otherwise clamp-shift
+    n_total = samples.shape[1]                    # flat (C, N) only here
     for k in range(n_frames):                     # static unroll: one
-        slabs.append(_slice_rows(                 # concatenated dense pass
-            samples, base + k * _FS * _SPS, slab_len))
+        st = base + k * _FS * _SPS                # concatenated dense pass
+        # a slab past the window end would be clamp-shifted by
+        # dynamic_slice and fold in MISALIGNED correlation — zero it
+        # instead (late p0 + short window, e.g. streaming re-acquire
+        # near the window tail)
+        ok = (st + slab_len <= n_total).astype(samples.dtype)
+        slabs.append(_slice_rows(samples, st, slab_len) * ok[:, None])
     # zero-pad past the correlators' valid-trim (39-sample tone window +
     # 920-sample dilated sync reach) so raw covers every slab position; the
     # padding only touches the last slab's offsets beyond n_off, never read
@@ -485,9 +493,14 @@ def refine_timing_locked(samples: jnp.ndarray, p0: jnp.ndarray,
     # and restores curvature at the apex, so the argmax + parabola are
     # well-conditioned; smoothed bin j centers on offset j + 0.5.
     fold = fold[:, :-1] + fold[:, 1:]             # (C, n_off+1)
-    # peak restricted to [1, n_off-1] so the parabolic neighbors exist
+    # peak over [0, n_off-1]: bin 0 matters when the base clamp bit (a
+    # signal starting within `half` samples of the capture start puts the
+    # apex pair at offsets {0, 1}; restricting to >=1 forced pk=1 with
+    # delta clipped to -0.5 — half a sample late, measured worth ~25% BER
+    # at 8 dB).  At pk=0 the left parabola neighbor doesn't exist; fall
+    # back to the smoothed bin's own center, which IS the plateau center.
     idx = jnp.arange(fold.shape[-1], dtype=jnp.int32)[None, :]
-    inner = (idx >= 1) & (idx <= n_off - 1)
+    inner = (idx >= 0) & (idx <= n_off - 1)
     pk = jnp.argmax(jnp.where(inner, fold, -jnp.inf), axis=-1).astype(jnp.int32)
     # gather-free neighbor extraction (one-hot masked sums)
     oh = idx == pk[:, None]
@@ -497,10 +510,18 @@ def refine_timing_locked(samples: jnp.ndarray, p0: jnp.ndarray,
     denom = rm - 2.0 * r0 + rp
     delta = jnp.where(jnp.abs(denom) > 1e-30,
                       0.5 * (rm - rp) / denom, 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5) + 0.5      # smoothed-bin center
+    delta = jnp.where(pk == 0, 0.0, jnp.clip(delta, -0.5, 0.5))
+    delta = delta + 0.5                           # smoothed-bin center
     pos = base + pk.astype(jnp.int32)             # integer peak
     p0r = pos + jnp.floor(delta).astype(jnp.int32)
     frac = (delta - jnp.floor(delta)).astype(jnp.float32)
+    # if even slab 0 overran the window (a burst hunted at the very tail),
+    # the fold is all-zero and pk is meaningless: keep the hunt's p0 and
+    # sit on the plateau center (the dense argmax tie-breaks to the FIRST
+    # of the pairwise-equal pair, so +0.5 is the apex center)
+    valid0 = base + slab_len <= n_total
+    p0r = jnp.where(valid0, p0r, p0)
+    frac = jnp.where(valid0, frac, 0.5).astype(jnp.float32)
     return p0r, frac
 
 

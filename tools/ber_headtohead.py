@@ -151,7 +151,8 @@ def main() -> int:
         acq = rx_locked(jnp.asarray(deq)[None, :], n_frames=nf)
         o8 = rx_locked_steady(jnp.asarray(q8.reshape(1, -1, 80)),
                               acq["p0"], acq["freq_offset"], n_frames=nf,
-                              scale=jnp.asarray([scale], jnp.float32))
+                              scale=jnp.asarray([scale], jnp.float32),
+                              frac=acq["frac"])
         # apply the same validity rule the driver applies
         fv8 = np.asarray(o8["frame_valid"])[0]
         l8 = np.asarray(o8["frames"])[0][fv8]
