@@ -35,7 +35,7 @@ class WidebandReceiver:
     def __init__(self, k: int, block_frames: int = 4,
                  taps_per_branch: int = 12, engine: str = "locked",
                  quantum_out: int | None = None, pipeline: bool = False,
-                 dtype: str = "auto"):
+                 dtype: str = "auto", timing: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -68,7 +68,7 @@ class WidebandReceiver:
             self.demod = LockedStreamDemodulator(channels=k,
                                                  block_frames=block_frames,
                                                  pipeline=pipeline,
-                                                 dtype=dtype)
+                                                 dtype=dtype, timing=timing)
         elif engine == "fast":
             if pipeline:
                 raise ValueError("pipeline=True requires engine='locked'")
@@ -91,9 +91,20 @@ class WidebandReceiver:
             return jnp.concatenate(
                 [kept, jnp.zeros(self._quantum, buf.dtype)])
 
+        def ingest(buf, x):
+            # steady fast path (count == hist, len(x) == one quantum):
+            # append + channelize + slide fused into ONE device program —
+            # through a TPU tunnel each separate jit dispatch is a round
+            # trip, and the steady wideband loop is dispatch/RTT-bound,
+            # not device-bound (WIDEBAND_r02.json note)
+            full = jax.lax.dynamic_update_slice(buf, x, (self._hist,))
+            ch = channelize(full, kk, tt)
+            return ch, slide(full)
+
         self._append = jax.jit(append, donate_argnums=(0,))
         self._chan = jax.jit(chan_full)
         self._slide = jax.jit(slide, donate_argnums=(0,))
+        self._ingest = jax.jit(ingest, donate_argnums=(0,))
 
     def feed(self, wideband):
         """wideband: (n,) complex at K*fs_ch (numpy or jax array; jax input
@@ -105,6 +116,10 @@ class WidebandReceiver:
         out = []
         off = 0
         n = x.shape[0]
+        if n == self._quantum and self._count == self._hist:
+            # steady fast path: exactly one quantum into a primed buffer
+            ch, self._buf = self._ingest(self._buf, x)
+            return self.demod.feed(ch)
         while off < n:
             take = min(self.window - self._count, n - off)
             self._buf = self._append(self._buf, self._count,
@@ -129,6 +144,14 @@ class WidebandReceiver:
         self._count = 0
         results.extend(self.demod.flush())
         return results
+
+    def stats(self):
+        """Inner engine per-block timing/lifecycle stats (timing=True):
+        device-wait vs host-lifecycle ms split per resolved block — the
+        operator-facing attribution for a sub-real-time deployment (is the
+        chip or the host/tunnel the limiter?)."""
+        fn = getattr(self.demod, "stats", None)
+        return fn() if fn is not None else {}
 
     @property
     def decoded(self):

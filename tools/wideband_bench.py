@@ -40,6 +40,10 @@ def main() -> int:
     ap.add_argument("--pipeline", action="store_true",
                     help="pipelined inner demod driver (block N computes "
                          "while N-1's results are fetched)")
+    ap.add_argument("--block-frames", type=int, default=2,
+                    help="inner demod block size in frames: larger blocks "
+                         "amortize the per-block result fetch (one tunnel "
+                         "RTT) over more air time at the cost of latency")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -99,7 +103,8 @@ def main() -> int:
     log(f"wideband synthesized on-device: {n_wb} samples "
         f"({k} channels, {len(active)} active)")
 
-    rx = WidebandReceiver(k, block_frames=2, pipeline=args.pipeline)
+    rx = WidebandReceiver(k, block_frames=args.block_frames,
+                          pipeline=args.pipeline, timing=True)
     quantum = rx._quantum
     if n_wb < rx.window:
         raise SystemExit("cycle shorter than one channelizer window")
@@ -127,7 +132,13 @@ def main() -> int:
     log(f"wideband: {msps:.1f} MS/s ({rt:.2f}x real time at K={k}), "
         f"{decoded} frames decoded in the timed window")
 
+    stats = rx.stats()
     res = {"platform": platform, "k": k, "active_channels": len(active),
+           "device_wait_ms_mean": stats.get("device_wait_ms_mean"),
+           "host_ms_mean": stats.get("host_ms_mean"),
+           "blocks_timed": stats.get("blocks"),
+           "block_frames": args.block_frames,
+           "pipeline": bool(args.pipeline),
            "wideband_msps": round(msps, 2),
            "x_realtime": round(rt, 3),
            "frames_decoded_timed": int(decoded),
