@@ -56,3 +56,36 @@ class TestWidebandReceiver:
         # reference's noise false-locks
         for c in (1, 3):
             assert all(m > 100 for _, _, m in per.get(c, []))
+
+    def test_quantum_fast_path_identical(self):
+        """Feeding exact quantum-sized chunks takes the fused
+        append+channelize+slide ingest (stream/wideband.py::ingest, ONE
+        device dispatch); odd-sized chunks take the general loop.  Both
+        must emit the identical tuple stream."""
+        k = 4
+        frames = build_bert_frame("W5NYV", frame_num=np.arange(6))
+        lead = np.zeros(2000 * k, np.complex128)
+        wb = {1: np.concatenate([lead, msk_wideband(frames, k)])}
+        n = len(wb[1])
+        x = synthesize_wideband(wb, k, n)
+
+        def run(chunks):
+            rx = WidebandReceiver(k, block_frames=3)
+            out = []
+            off = 0
+            for m in chunks:
+                out += rx.feed(x[off:off + m])
+                off += m
+            out += rx.feed(x[off:])
+            return out + rx.flush()
+
+        q = WidebandReceiver(k, block_frames=3)._quantum
+        # prime to exactly (window) then quantum-sized feeds -> fast path
+        win = WidebandReceiver(k, block_frames=3).window
+        fast = run([win] + [q] * ((n - win) // q))
+        odd = run([win - 123, 123 + q // 2, q // 2] + [q] * 2)
+        assert fast == odd
+        got = sorted((pos, np.frombuffer(fb, np.uint8))
+                     for c, fb, m, q, pos in fast if c == 1 and m <= 16)
+        np.testing.assert_array_equal(np.stack([f for _, f in got]),
+                                      np.asarray(frames))
