@@ -314,11 +314,17 @@ def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
     cfo_new = refine_cfo_locked(seg, jnp.zeros_like(p0), cfo_new)
     freq_offset = jnp.where(keep, freq_offset_old, cfo_new)
     # multi-frame-averaged sub-sample timing for the NEWLY acquired grids
-    # (kept channels retain their carried frac)
+    # (kept channels retain their carried frac).  Fold over every frame
+    # interval the window can hold, not just the n_frames decode slots —
+    # the streaming driver's window carries overlap beyond its block, and
+    # slabs past the window end (late-p0 bursts) are masked out inside
+    # refine_timing_locked, so the deeper fold is always safe and buys
+    # sqrt(F) timing noise at the FEC waterfall.
     if frac_old is None:
         frac_old = jnp.zeros(samples.shape[0], jnp.float32)
+    fold_n = max(n_frames, min(samples.shape[1] // (_FS * _SPS), 16))
     p0_r, frac_new = refine_timing_locked(samples, p0, freq_offset,
-                                          n_frames=n_frames)
+                                          n_frames=fold_n)
     acquired = ~keep & (found | found_u)
     p0 = jnp.where(acquired, p0_r, p0)
     frac = jnp.where(acquired, frac_new, frac_old.astype(jnp.float32))
