@@ -314,17 +314,13 @@ def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
     cfo_new = refine_cfo_locked(seg, jnp.zeros_like(p0), cfo_new)
     freq_offset = jnp.where(keep, freq_offset_old, cfo_new)
     # multi-frame-averaged sub-sample timing for the NEWLY acquired grids
-    # (kept channels retain their carried frac).  Fold over every frame
-    # interval the window can hold, not just the n_frames decode slots —
-    # the streaming driver's window carries overlap beyond its block, and
-    # slabs past the window end (late-p0 bursts) are masked out inside
-    # refine_timing_locked, so the deeper fold is always safe and buys
-    # sqrt(F) timing noise at the FEC waterfall.
+    # (kept channels retain their carried frac), folded from the hunt's
+    # OWN dense correlation by static reshape — the slab form fused into
+    # this dense program hangs the axon compiler (refine_timing_from_raw
+    # docstring; tools/tpu_probe_frac.py stage 4).
     if frac_old is None:
         frac_old = jnp.zeros(samples.shape[0], jnp.float32)
-    fold_n = max(n_frames, min(samples.shape[1] // (_FS * _SPS), 16))
-    p0_r, frac_new = refine_timing_locked(samples, p0, freq_offset,
-                                          n_frames=fold_n)
+    p0_r, frac_new = refine_timing_from_raw(raw, p0)
     acquired = ~keep & (found | found_u)
     p0 = jnp.where(acquired, p0_r, p0)
     frac = jnp.where(acquired, frac_new, frac_old.astype(jnp.float32))
@@ -382,14 +378,18 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
         freq_offset = refine_cfo_locked(samples, p0, freq_offset)
         p0 = acquire(freq_offset)
         freq_offset = refine_cfo_locked(samples, p0, freq_offset)
-    # multi-frame-averaged sub-sample timing (refine_timing_locked): fold
-    # over at most 64 frame intervals (the slabs unroll statically; 64
-    # slabs of ~1k samples are still a few % of one dense hunt).  At the
-    # 7 dB waterfall the fold's residual wobble is the locked path's whole
-    # remaining deficit vs the reference (~0.05 dB = ~12% BER on the
-    # 10x/dB slope), so deeper averaging pays until the capture runs out.
-    p0, frac = refine_timing_locked(samples, p0, freq_offset,
-                                    n_frames=min(n_frames, 64))
+    # multi-frame-averaged sub-sample timing: one dense pass over up to 32
+    # frame intervals, folded by static reshape (refine_timing_from_raw —
+    # the slab form fused into a dense-hunt program hangs the axon
+    # compiler).  At the 7 dB waterfall the fold's residual wobble is the
+    # locked path's whole remaining deficit vs the reference (~0.05 dB =
+    # ~12% BER on the 10x/dB slope), so deep averaging pays; past ~32
+    # folds the gain is under the parabola bias.
+    refine_len = min(n, (min(n_frames, 32) + 1) * _FS * _SPS
+                     + (_SB + 2) * _SPS)
+    soft_r = dense_soft(samples[:, :refine_len], freq_offset)
+    raw_r, _ = dense_sync(soft_r)
+    p0, frac = refine_timing_from_raw(raw_r, p0)
     return _locked_body(samples, p0, freq_offset, n_frames, frac=frac)
 
 
@@ -492,19 +492,38 @@ def refine_timing_locked(samples: jnp.ndarray, p0: jnp.ndarray,
     raw, _ = dense_sync(soft)
     raw = raw[:, : n_frames * slab_len].reshape(c, n_frames, slab_len)
     fold = raw[:, :, :n_off + 2].sum(axis=1)      # (C, n_off+2)
-    # The int16 MSK waveform's dense correlation is pairwise-equal in
-    # adjacent offsets (a genuine 2-sample apex plateau — verified against
-    # brute-force dots, tests/test_locked.py::test_timing_refinement_*).
-    # Summing adjacent bins ([1,1] smoothing) removes the stair pairing
-    # and restores curvature at the apex, so the argmax + parabola are
-    # well-conditioned; smoothed bin j centers on offset j + 0.5.
+    est = _fold_est(fold)
+    pos = base.astype(jnp.float32) + est
+    p0r = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - jnp.floor(pos)).astype(jnp.float32)
+    # if even slab 0 overran the window (a burst hunted at the very tail),
+    # the fold is all-zero and pk is meaningless: keep the hunt's p0 and
+    # sit on the plateau center (the dense argmax tie-breaks to the FIRST
+    # of the pairwise-equal pair, so +0.5 is the apex center)
+    valid0 = base + slab_len <= n_total
+    p0r = jnp.where(valid0, p0r, p0)
+    frac = jnp.where(valid0, frac, 0.5).astype(jnp.float32)
+    return p0r, frac
+
+
+def _fold_est(fold: jnp.ndarray) -> jnp.ndarray:
+    """Shared sub-sample peak estimator: (C, n_off+2) folded sync
+    correlation -> (C,) float32 peak offset relative to fold[:, 0].
+
+    The int16 MSK waveform's dense correlation is pairwise-equal in
+    adjacent offsets (a genuine 2-sample apex plateau — verified against
+    brute-force dots, tests/test_locked.py::test_timing_refinement_*).
+    Summing adjacent bins ([1,1] smoothing) removes the stair pairing and
+    restores curvature at the apex, so the argmax + parabola are
+    well-conditioned; smoothed bin j centers on offset j + 0.5.
+
+    Peak over [0, n_off-1]: bin 0 matters when a clamped base puts the
+    apex pair at offsets {0, 1}; restricting to >=1 forced pk=1 with delta
+    clipped to -0.5 — half a sample late, measured worth ~25% BER at 8 dB.
+    At pk=0 the left parabola neighbor doesn't exist; fall back to the
+    smoothed bin's own center, which IS the plateau center."""
+    n_off = fold.shape[-1] - 2
     fold = fold[:, :-1] + fold[:, 1:]             # (C, n_off+1)
-    # peak over [0, n_off-1]: bin 0 matters when the base clamp bit (a
-    # signal starting within `half` samples of the capture start puts the
-    # apex pair at offsets {0, 1}; restricting to >=1 forced pk=1 with
-    # delta clipped to -0.5 — half a sample late, measured worth ~25% BER
-    # at 8 dB).  At pk=0 the left parabola neighbor doesn't exist; fall
-    # back to the smoothed bin's own center, which IS the plateau center.
     idx = jnp.arange(fold.shape[-1], dtype=jnp.int32)[None, :]
     inner = (idx >= 0) & (idx <= n_off - 1)
     pk = jnp.argmax(jnp.where(inner, fold, -jnp.inf), axis=-1).astype(jnp.int32)
@@ -517,39 +536,70 @@ def refine_timing_locked(samples: jnp.ndarray, p0: jnp.ndarray,
     delta = jnp.where(jnp.abs(denom) > 1e-30,
                       0.5 * (rm - rp) / denom, 0.0)
     delta = jnp.where(pk == 0, 0.0, jnp.clip(delta, -0.5, 0.5))
-    delta = delta + 0.5                           # smoothed-bin center
-    pos = base + pk.astype(jnp.int32)             # integer peak
-    p0r = pos + jnp.floor(delta).astype(jnp.int32)
-    frac = (delta - jnp.floor(delta)).astype(jnp.float32)
-    # if even slab 0 overran the window (a burst hunted at the very tail),
-    # the fold is all-zero and pk is meaningless: keep the hunt's p0 and
-    # sit on the plateau center (the dense argmax tie-breaks to the FIRST
-    # of the pairwise-equal pair, so +0.5 is the apex center)
-    valid0 = base + slab_len <= n_total
-    p0r = jnp.where(valid0, p0r, p0)
-    frac = jnp.where(valid0, frac, 0.5).astype(jnp.float32)
+    return pk.astype(jnp.float32) + delta + 0.5   # smoothed-bin center
+
+
+def refine_timing_from_raw(raw: jnp.ndarray, p0: jnp.ndarray):
+    """Sub-sample timing from an ALREADY-COMPUTED dense sync correlation.
+
+    The slab form (refine_timing_locked) gathers per-frame slabs with
+    scanned dynamic slices; standalone that compiles and runs on the axon
+    backend (tools/tpu_probe_frac.py stages 1-2), but FUSED into the dense
+    re-acquire program the remote compiler hangs/UNIMPLEMENTEDs (stage 4;
+    it also wedges the tunnel).  Where the dense correlation over the
+    window already exists (re-acquire's hunt, rx_locked's refine pass),
+    folding is a STATIC reshape-sum over frame intervals — zero dynamic
+    slicing in the fused program except ONE scanned slice of the tiny
+    (C, spf + 43) folded array.
+
+    raw: (C, M) dense sync correlation (dense_sync).  Every complete frame
+    interval in raw is folded — positions before a mid-window burst add
+    zero-mean noise to the fold (a mild SNR dilution vs the slab form's
+    burst-anchored slabs, still ~sqrt(F) better than single-shot).
+    Returns ((C,) p0_refined int32 >= 0, (C,) frac in [0, 1))."""
+    c, m = raw.shape
+    spf = _FS * _SPS
+    f = m // spf
+    half = _SPS // 2
+    n_off = 2 * half + 1
+    if f < 1:        # capture shorter than one frame interval of positions
+        return p0, jnp.full(c, 0.5, jnp.float32)
+    fold_full = raw[:, : f * spf].reshape(c, f, spf).sum(axis=1)  # (C, spf)
+    # doubled head so the +-half window around p0 never wraps the slice
+    fold2 = jnp.concatenate([fold_full, fold_full[:, : n_off + 2]], axis=1)
+    off = (p0 - half) % spf
+    seg = _slice_rows(fold2, off, n_off + 2)
+    est = _fold_est(seg)
+    pos = jnp.maximum(p0.astype(jnp.float32) + (est - half), 0.0)
+    p0r = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - jnp.floor(pos)).astype(jnp.float32)
     return p0r, frac
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("n_frames",))
 def rx_locked_retime(samples: jnp.ndarray, p0: jnp.ndarray,
-                     freq_offset: jnp.ndarray) -> jnp.ndarray:
-    """Sample-granular timing micro-adjustment for LOCKED channels.
+                     freq_offset: jnp.ndarray, n_frames: int = 1):
+    """Timing micro-adjustment for LOCKED channels — FOLDED.
 
-    Evaluates the dense dilated sync correlation in a +-half-symbol
-    neighborhood of the SECOND expected sync in the window (the first may
-    straddle the window start when the clock drifts backward) and returns
-    (C,) int32 deltas in [-20, 20] maximizing raw correlation — the timing
-    feedback the locked grid needs under ppm-scale sample-clock drift
-    (stream/locked.py refresh).  Cost: ~1000 samples of dense correlation
-    per channel, negligible next to the block body.
+    Originally a single-shot dense sync correlation around the second
+    expected sync; at the FEC waterfall that argmax is noise-driven, and
+    with the refresh trigger firing on sub-0.90 sync quality (routine at
+    7 dB) the single-shot deltas WANDERED the grid off the transmission
+    (measured: p0 walked 0 -> 6 over 200 frames, 2.4x the batch BER).
+    Now the same fold as acquisition (refine_timing_locked) anchored one
+    frame AFTER p0 — so a backward drift straddling the window start stays
+    visible — averaging every frame interval the window holds.
+
+    Returns ((C,) int32 delta in [-20, 20], (C,) float32 frac): the
+    corrected grid is p0 + delta with sub-sample frac.  Cost: n_frames
+    slabs of ~1k samples of dense correlation per channel.
     """
+    spf = _FS * _SPS
+    p0r, frac = refine_timing_locked(samples, p0 + spf, freq_offset,
+                                     n_frames=n_frames)
     half = _SPS // 2
-    slab_len = (_SPS + 1) + 23 * _SPS + 39        # 41 sync offsets
-    slab = _slice_rows(samples, p0 + _FS * _SPS - half, slab_len)
-    soft = dense_soft(slab, freq_offset)
-    raw, _ = dense_sync(soft)                     # (C, 41)
-    return jnp.argmax(raw, axis=-1).astype(jnp.int32) - half
+    delta = jnp.clip(p0r - spf - p0, -half, half).astype(jnp.int32)
+    return delta, frac
 
 
 def _slice_rows(x: jnp.ndarray, starts: jnp.ndarray, length: int) -> jnp.ndarray:

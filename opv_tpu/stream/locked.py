@@ -257,8 +257,9 @@ class LockedStreamDemodulator:
             return jax.lax.complex(f[..., 0], f[..., 1])
 
         self._retime = jit_s(
-            lambda b, p, f, sc: rx_locked_retime(_cplx(b, sc), p, f),
-            (BUF, CH, CH, CH), CH)
+            lambda b, p, f, sc: rx_locked_retime(_cplx(b, sc), p, f,
+                                                 n_frames=block_frames),
+            (BUF, CH, CH, CH), (CH, CH))
 
         self.channels = channels
         self.block_frames = block_frames
@@ -528,9 +529,11 @@ class LockedStreamDemodulator:
         p0_wrapped = self.p0
         retune = self.refresh & self.locked
         if retune.any():
-            delta = np.asarray(self._retime(buf, put("p0", self.p0),
-                                            put("foff", self.freq_offset),
-                                            self._scale))
+            delta, frac_new = self._retime(buf, put("p0", self.p0),
+                                           put("foff", self.freq_offset),
+                                           self._scale)
+            delta = np.asarray(delta)
+            frac_new = np.asarray(frac_new)
             delta = np.where(retune, delta, 0).astype(np.int32)
             p0n = self.p0 + delta
             # p0n < 0: the drifted grid steps back across the window start.
@@ -547,10 +550,13 @@ class LockedStreamDemodulator:
             moved = delta != 0
             self.refreshes += int(moved.sum())
             self.metric_ema[moved] = np.nan  # fresh grid -> fresh baseline
-            # the integer retime centers the grid on the drifted peak;
-            # the old sub-sample frac no longer applies (error <= 0.5
-            # sample afterwards, same as a fresh integer acquisition)
-            self.frac[moved] = 0.0
+            # the folded retime re-estimates sub-sample timing alongside
+            # the integer delta: adopt it for every retuned non-wrap
+            # channel (a wrap processes THIS block on the old grid, so the
+            # old frac still applies; the next refresh re-estimates)
+            adopt = retune & ~wrap
+            self.frac = np.where(adopt, frac_new,
+                                 self.frac).astype(np.float32)
         self.refresh[:] = False
 
         if self.locked.all():
