@@ -100,6 +100,14 @@ class LockedStreamDemodulator:
     REFRESH_METRIC_RISE = 400
     REFRESH_METRIC_MIN = 400
     _EMA_ALPHA = 0.1
+    #: timing-refresh blending: a retime estimate within this many samples
+    #: of the carried grid is noise-regime — blend it (EMA, alpha below)
+    #: so repeated waterfall refreshes converge the grid ~sqrt(1/alpha)
+    #: below one window-fold's wobble; a larger jump is a real drift event
+    #: and re-anchors immediately (the drift tests' ppm-scale slips move
+    #: 2-6 samples per refresh)
+    _TIMING_TRUST = 2.0
+    _TIMING_ALPHA = 0.3
 
     #: int8 AGC: re-evaluate the per-channel quantization scale every this
     #: many resolved blocks (one tiny stats fetch each time; per-block
@@ -535,7 +543,17 @@ class LockedStreamDemodulator:
             delta = np.asarray(delta)
             frac_new = np.asarray(frac_new)
             delta = np.where(retune, delta, 0).astype(np.int32)
-            p0n = self.p0 + delta
+            # trust-region blend (see _TIMING_TRUST/_TIMING_ALPHA): noise-
+            # regime estimates EMA into the carried grid; drift events
+            # re-anchor immediately
+            cur = self.p0.astype(np.float64) + self.frac
+            est = (self.p0 + delta).astype(np.float64) + frac_new
+            diff = est - cur
+            blend = np.where(np.abs(diff) > self._TIMING_TRUST, est,
+                             cur + self._TIMING_ALPHA * diff)
+            blend = np.where(retune, blend, cur)
+            p0n = np.floor(blend).astype(np.int32)
+            frac_n = (blend - p0n).astype(np.float32)
             # p0n < 0: the drifted grid steps back across the window start.
             # The straddling frame is still FULLY inside this window (the
             # overlap is one frame + slack), but its slot on the old grid is
@@ -545,17 +563,18 @@ class LockedStreamDemodulator:
             # grid one frame for the next block.  Zero frames lost or
             # doubled across the wrap.
             wrap = p0n < 0
+            moved = retune & (p0n != self.p0)
             self.p0 = np.where(wrap, self.p0, p0n).astype(np.int32)
             p0_wrapped = np.where(wrap, p0n + self.spf, self.p0).astype(np.int32)
-            moved = delta != 0
             self.refreshes += int(moved.sum())
             self.metric_ema[moved] = np.nan  # fresh grid -> fresh baseline
             # the folded retime re-estimates sub-sample timing alongside
-            # the integer delta: adopt it for every retuned non-wrap
-            # channel (a wrap processes THIS block on the old grid, so the
-            # old frac still applies; the next refresh re-estimates)
+            # the integer delta: adopt the blended frac for every retuned
+            # non-wrap channel (a wrap processes THIS block on the old
+            # grid, so the old frac still applies; the next refresh
+            # re-estimates)
             adopt = retune & ~wrap
-            self.frac = np.where(adopt, frac_new,
+            self.frac = np.where(adopt, frac_n,
                                  self.frac).astype(np.float32)
         self.refresh[:] = False
 
