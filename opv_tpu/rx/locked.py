@@ -322,13 +322,8 @@ def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
         frac_old = jnp.zeros(samples.shape[0], jnp.float32)
     p0_r, frac_new = refine_timing_from_raw(raw, p0)
     acquired = ~keep & (found | found_u)
-    # burst_only channels have no second sync: the fold anchored one frame
-    # past p0 sees only noise there, so keep the hunt's grid (plateau
-    # center) instead of the garbage refinement
-    p0 = jnp.where(acquired & ~burst_only, p0_r, p0)
-    frac = jnp.where(acquired,
-                     jnp.where(burst_only, 0.5, frac_new),
-                     frac_old.astype(jnp.float32)).astype(jnp.float32)
+    p0 = jnp.where(acquired, p0_r, p0)
+    frac = jnp.where(acquired, frac_new, frac_old.astype(jnp.float32))
     out = _locked_body(samples, p0, freq_offset, n_frames, frac=frac)
     out["burst_only"] = burst_only
     out["frac"] = frac
@@ -390,16 +385,11 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     # locked path's whole remaining deficit vs the reference (~0.05 dB =
     # ~12% BER on the 10x/dB slope), so deep averaging pays; past ~32
     # folds the gain is under the parabola bias.
-    if n_frames >= 2:
-        refine_len = min(n, (min(n_frames, 32) + 2) * _FS * _SPS
-                         + (_SB + 2) * _SPS)
-        soft_r = dense_soft(samples[:, :refine_len], freq_offset)
-        raw_r, _ = dense_sync(soft_r)
-        p0, frac = refine_timing_from_raw(raw_r, p0)
-    else:
-        # single-frame capture: no second sync to fold on — sit on the
-        # plateau center of the hunt's integer argmax
-        frac = jnp.full(c, 0.5, jnp.float32)
+    refine_len = min(n, (min(n_frames, 32) + 1) * _FS * _SPS
+                     + (_SB + 2) * _SPS)
+    soft_r = dense_soft(samples[:, :refine_len], freq_offset)
+    raw_r, _ = dense_sync(soft_r)
+    p0, frac = refine_timing_from_raw(raw_r, p0)
     return _locked_body(samples, p0, freq_offset, n_frames, frac=frac)
 
 
@@ -520,38 +510,33 @@ def _fold_est(fold: jnp.ndarray) -> jnp.ndarray:
     """Shared sub-sample peak estimator: (C, n_off+2) folded sync
     correlation -> (C,) float32 peak offset relative to fold[:, 0].
 
-    TWO-PASS MASKED CENTROID.  An argmax + 3-point parabola is the wrong
-    estimator here: the fold's apex is genuinely FLAT over several samples
-    (the int16 MSK waveform's dense correlation is pairwise-equal in
-    adjacent offsets — a 2-sample plateau verified against brute-force
-    dots — and the triangular ACF has ~0.1%/sample curvature near the
-    apex), so at the FEC waterfall the noisy argmax lands anywhere on an
-    ~8-sample shelf (measured: a +7-sample pick cost 2x BER at 7 dB;
-    estimator shootout: parabola rms 1.0-2.9 samples with outliers vs
-    centroid rms ~0.6, unbiased at the plateau center).  The centroid
-    averages EVERY bin in the window instead of trusting one noisy max.
+    The int16 MSK waveform's dense correlation is pairwise-equal in
+    adjacent offsets (a genuine 2-sample apex plateau — verified against
+    brute-force dots, tests/test_locked.py::test_timing_refinement_*).
+    Summing adjacent bins ([1,1] smoothing) removes the stair pairing and
+    restores curvature at the apex, so the argmax + parabola are
+    well-conditioned; smoothed bin j centers on offset j + 0.5.
 
-    Pass 1: baseline-subtracted centroid over the full window (the window
-    is centered on the hunt estimate, so truncation asymmetry from its
-    +-3-sample jitter biases slightly toward the window center).  Pass 2:
-    re-centered +-10-bin masked centroid — symmetric truncation around the
-    true apex removes that bias (exact on clean captures)."""
-    nb = fold.shape[-1]
-    idx = jnp.arange(nb, dtype=jnp.float32)[None, :]
-
-    def centroid(mask):
-        lo = jnp.min(jnp.where(mask, fold, jnp.inf), axis=-1, keepdims=True)
-        w = jnp.where(mask, jnp.maximum(fold - lo, 0.0), 0.0)
-        tot = w.sum(-1)
-        safe = jnp.where(tot > 0, tot, 1.0)
-        est = (w * idx).sum(-1) / safe
-        # degenerate all-flat window (pure silence): window center
-        return jnp.where(tot > 0, est, 0.5 * (nb - 1))
-
-    est1 = centroid(jnp.ones_like(fold, bool))
-    c1 = jnp.round(est1)[:, None]
-    est2 = centroid(jnp.abs(idx - c1) <= 10.0)
-    return est2.astype(jnp.float32)
+    Peak over [0, n_off-1]: bin 0 matters when a clamped base puts the
+    apex pair at offsets {0, 1}; restricting to >=1 forced pk=1 with delta
+    clipped to -0.5 — half a sample late, measured worth ~25% BER at 8 dB.
+    At pk=0 the left parabola neighbor doesn't exist; fall back to the
+    smoothed bin's own center, which IS the plateau center."""
+    n_off = fold.shape[-1] - 2
+    fold = fold[:, :-1] + fold[:, 1:]             # (C, n_off+1)
+    idx = jnp.arange(fold.shape[-1], dtype=jnp.int32)[None, :]
+    inner = (idx >= 0) & (idx <= n_off - 1)
+    pk = jnp.argmax(jnp.where(inner, fold, -jnp.inf), axis=-1).astype(jnp.int32)
+    # gather-free neighbor extraction (one-hot masked sums)
+    oh = idx == pk[:, None]
+    r0 = (fold * oh).sum(-1)
+    rm = (fold * (idx == pk[:, None] - 1)).sum(-1)
+    rp = (fold * (idx == pk[:, None] + 1)).sum(-1)
+    denom = rm - 2.0 * r0 + rp
+    delta = jnp.where(jnp.abs(denom) > 1e-30,
+                      0.5 * (rm - rp) / denom, 0.0)
+    delta = jnp.where(pk == 0, 0.0, jnp.clip(delta, -0.5, 0.5))
+    return pk.astype(jnp.float32) + delta + 0.5   # smoothed-bin center
 
 
 def refine_timing_from_raw(raw: jnp.ndarray, p0: jnp.ndarray):
@@ -563,41 +548,29 @@ def refine_timing_from_raw(raw: jnp.ndarray, p0: jnp.ndarray):
     re-acquire program the remote compiler hangs/UNIMPLEMENTEDs (stage 4;
     it also wedges the tunnel).  Where the dense correlation over the
     window already exists (re-acquire's hunt, rx_locked's refine pass),
-    this uses ONE scanned dynamic slice of raw per channel, anchored at
-    the burst (base = p0 - half), then a STATIC reshape-sum over frame
-    intervals — the same sums as the slab form (signal-anchored: no
-    pre-burst noise, no aliased under-populated bins on short captures)
-    without its 16 fused slice scans.
+    folding is a STATIC reshape-sum over frame intervals — zero dynamic
+    slicing in the fused program except ONE scanned slice of the tiny
+    (C, spf + 43) folded array.
 
-    raw: (C, M) dense sync correlation (dense_sync); every frame interval
-    it holds past `base` is folded (zero-padded past M, uniform across the
-    +-half window so the pad cannot tilt the estimate).
+    raw: (C, M) dense sync correlation (dense_sync).  Every complete frame
+    interval in raw is folded — positions before a mid-window burst add
+    zero-mean noise to the fold (a mild SNR dilution vs the slab form's
+    burst-anchored slabs, still ~sqrt(F) better than single-shot).
     Returns ((C,) p0_refined int32 >= 0, (C,) frac in [0, 1))."""
     c, m = raw.shape
     spf = _FS * _SPS
+    f = m // spf
     half = _SPS // 2
     n_off = 2 * half + 1
-    fold_n = m // spf - 1
-    if fold_n < 1:   # no second frame interval: nothing to fold on
+    if f < 1:        # capture shorter than one frame interval of positions
         return p0, jnp.full(c, 0.5, jnp.float32)
-    # anchor ONE FRAME PAST the first sync (like the retime): a burst
-    # starting at the capture head has no positions left of its first
-    # sync, and a one-sided window biases the centroid by up to half the
-    # window (measured: +9 samples at 7 dB); around the SECOND sync the
-    # window is always two-sided, at the cost of one fold interval.
-    # Callers must guard single-frame bursts (no second sync -> the fold
-    # sees noise): rx_locked skips refinement at n_frames == 1, re-acquire
-    # keeps the hunt grid for burst_only channels.
-    base = jnp.maximum(p0 - half, 0) + spf
-    # pad so the anchored slice never clamp-shifts (dynamic_slice clamps
-    # its start when the slice would overrun, which would MISALIGN every
-    # interval); the padded zeros dilute all window bins equally
-    rawp = jnp.concatenate(
-        [raw, jnp.zeros((c, fold_n * spf + spf), raw.dtype)], axis=1)
-    sl = _slice_rows(rawp, base, fold_n * spf)
-    fold = sl.reshape(c, fold_n, spf)[:, :, : n_off + 2].sum(axis=1)
-    est = _fold_est(fold)
-    pos = jnp.maximum(base.astype(jnp.float32) + est - spf, 0.0)
+    fold_full = raw[:, : f * spf].reshape(c, f, spf).sum(axis=1)  # (C, spf)
+    # doubled head so the +-half window around p0 never wraps the slice
+    fold2 = jnp.concatenate([fold_full, fold_full[:, : n_off + 2]], axis=1)
+    off = (p0 - half) % spf
+    seg = _slice_rows(fold2, off, n_off + 2)
+    est = _fold_est(seg)
+    pos = jnp.maximum(p0.astype(jnp.float32) + (est - half), 0.0)
     p0r = jnp.floor(pos).astype(jnp.int32)
     frac = (pos - jnp.floor(pos)).astype(jnp.float32)
     return p0r, frac
