@@ -47,6 +47,17 @@ _FS = CONFIG.frame_symbols
 #: absolute thresholds (sync raw >= 5000) see wire-scale values.
 INT8_SCALE = 129.0
 
+#: how many frame intervals the batch acquisition's timing refinement folds
+#: (rx_locked).  Read at TRACE time — set before the first rx_locked call.
+#: Measured at the 7 dB waterfall (200-frame interior capture, PERF.md
+#: round 4): depth 33 folds can still argmax up to 7 samples off (BER
+#: 9.0e-2); 65 folds 4.0e-2; 129 folds 3.7e-2 with the sub-sample estimate
+#: 0.02 samples from truth — beating the reference's TED.  The refine pass
+#: is one dense correlation over the folded span per BATCH acquisition
+#: (streaming re-acquires fold over their own window and refresh via the
+#: retime EMA instead), so deep folding costs nothing in steady state.
+REFINE_FOLD_CAP = 128
+
 
 def acquire_grid(raw: jnp.ndarray) -> jnp.ndarray:
     """(C, M) dense sync correlation -> (C,) sample index of the first sync.
@@ -385,7 +396,7 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     # locked path's whole remaining deficit vs the reference (~0.05 dB =
     # ~12% BER on the 10x/dB slope), so deep averaging pays; past ~32
     # folds the gain is under the parabola bias.
-    refine_len = min(n, (min(n_frames, 32) + 1) * _FS * _SPS
+    refine_len = min(n, (min(n_frames, REFINE_FOLD_CAP) + 1) * _FS * _SPS
                      + (_SB + 2) * _SPS)
     soft_r = dense_soft(samples[:, :refine_len], freq_offset)
     raw_r, _ = dense_sync(soft_r)
@@ -506,22 +517,41 @@ def refine_timing_locked(samples: jnp.ndarray, p0: jnp.ndarray,
     return p0r, frac
 
 
+#: static bias of the smoothed 3-point parabola on the clean folded sync
+#: correlation, measured in the capture INTERIOR: the apex skirt is
+#: symmetric to ~0.5%, leaving a small (+0.04..+0.06, shrinking with fold
+#: depth) late pull from the tail interval's residual asymmetry.
+#: (A signal starting at sample 0 shows a fake +0.48 "asymmetry" — the
+#: capture head truncates the left skirt; do not calibrate there.)
+#: Template/matched-filter estimators were tried and REJECTED: the fold's
+#: broad shape makes the MF peak nearly flat, so its calibration drifts
+#: ~0.7 samples with fold depth, and differenced (edge-matched) templates
+#: amplify bin noise ~3x (measured, PERF.md round 4).  Generated by
+#: tools/gen_timing_template.py; pinned by
+#: tests/test_locked.py::test_timing_parabola_bias_constant.
+_PB_BIAS = 0.0409839434
+
+
 def _fold_est(fold: jnp.ndarray) -> jnp.ndarray:
     """Shared sub-sample peak estimator: (C, n_off+2) folded sync
-    correlation -> (C,) float32 peak offset relative to fold[:, 0].
+    correlation -> (C,) float32 offset of the apex CENTER relative to
+    fold[:, 0].
 
     The int16 MSK waveform's dense correlation is pairwise-equal in
     adjacent offsets (a genuine 2-sample apex plateau — verified against
     brute-force dots, tests/test_locked.py::test_timing_refinement_*).
     Summing adjacent bins ([1,1] smoothing) removes the stair pairing and
     restores curvature at the apex, so the argmax + parabola are
-    well-conditioned; smoothed bin j centers on offset j + 0.5.
+    well-conditioned; smoothed bin j centers on offset j + 0.5.  The
+    small tail-interval asymmetry bias of the parabola is removed by the
+    clean-fold calibration constant (_PB_BIAS).
 
     Peak over [0, n_off-1]: bin 0 matters when a clamped base puts the
     apex pair at offsets {0, 1}; restricting to >=1 forced pk=1 with delta
     clipped to -0.5 — half a sample late, measured worth ~25% BER at 8 dB.
     At pk=0 the left parabola neighbor doesn't exist; fall back to the
-    smoothed bin's own center, which IS the plateau center."""
+    smoothed bin's own center, which IS the plateau center (uncorrected:
+    the bias calibration belongs to the parabola, not the raw argmax)."""
     n_off = fold.shape[-1] - 2
     fold = fold[:, :-1] + fold[:, 1:]             # (C, n_off+1)
     idx = jnp.arange(fold.shape[-1], dtype=jnp.int32)[None, :]
@@ -535,7 +565,8 @@ def _fold_est(fold: jnp.ndarray) -> jnp.ndarray:
     denom = rm - 2.0 * r0 + rp
     delta = jnp.where(jnp.abs(denom) > 1e-30,
                       0.5 * (rm - rp) / denom, 0.0)
-    delta = jnp.where(pk == 0, 0.0, jnp.clip(delta, -0.5, 0.5))
+    delta = jnp.where(pk == 0, 0.0,
+                      jnp.clip(delta, -0.5, 0.5) - _PB_BIAS)
     return pk.astype(jnp.float32) + delta + 0.5   # smoothed-bin center
 
 

@@ -626,13 +626,18 @@ class LockedStreamDemodulator:
                                       min_pos=self._dropped_at, base=base))
         self.refresh = self._want_refresh & self.locked
         self._blocks += 1
-        # AGC cadence — plus every unlocked block: lock loss often IS a
-        # level change (burst onset on a quiet channel, fade), and the
+        # AGC cadence — plus every lock-TRANSITION block: lock loss often
+        # IS a level change (burst onset on a quiet channel, fade), and the
         # re-hunt only succeeds once the window is quantized at the new
-        # step; the extra tiny stats fetch is nothing next to the dense
-        # re-acquire the block already paid for
+        # step.  Triggering on the transition (not the unlocked STATE)
+        # matters for sparse deployments: a 64-channel bank with idle
+        # channels is permanently part-unlocked, and the stats fetch is a
+        # full tunnel round trip — per-block it dominated the wideband
+        # host budget (WIDEBAND r4 session: 146 ms host/block).  Idle
+        # channels still re-evaluate at the _AGC_BLOCKS cadence.
         if self._agc and (self._blocks % self._AGC_BLOCKS == 0
-                          or not self.locked.all()):
+                          or dropped.any()
+                          or (~prev_locked & self.locked).any()):
             self._agc_update()
         if t_res is not None:
             total_ms = (time.monotonic() - t_res) * 1e3
@@ -680,8 +685,9 @@ class LockedStreamDemodulator:
         at the measured step, not the wire-full-scale default."""
         if not self._agc or self._stat_cnt == 0:
             return
-        ss = np.asarray(self._stat_ss)
-        mx = np.asarray(self._stat_max)
+        # ONE batched fetch for both stat vectors (two serial np.asarray
+        # calls are two tunnel round trips)
+        ss, mx = self._jax.device_get((self._stat_ss, self._stat_max))
         rms = np.sqrt(ss / self._stat_cnt)
         desired = np.minimum(mx, self._AGC_SIGMA * rms) * (1.0 / 127.0)
         desired = np.maximum(desired, 1e-6).astype(np.float32)  # silence

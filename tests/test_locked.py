@@ -94,6 +94,18 @@ class TestLocked:
         np.testing.assert_allclose(np.asarray(o_q["sync_q"]),
                                    np.asarray(o_f["sync_q"]), atol=2e-3)
 
+    def test_timing_parabola_bias_constant(self):
+        """_PB_BIAS (the smoothed parabola's clean-fold asymmetry bias,
+        rx/locked.py::_fold_est) is data-derived but fixed by the air
+        interface: regenerating it from scratch must reproduce the baked
+        constant, and the bias must be depth-stable (the property that
+        made the parabola the chosen estimator — see
+        tools/gen_timing_template.py)."""
+        from opv_tpu.rx.locked import _PB_BIAS
+        from tools.gen_timing_template import compute
+        assert abs(compute() - _PB_BIAS) < 1e-6
+        assert abs(compute(nf=6) - _PB_BIAS) < 0.1   # depth drift bound
+
     def test_timing_refinement_integer_delay(self):
         """refine_timing_locked folds the dense sync correlation across all
         frame intervals: on a noisy integer-delayed capture the refined p0

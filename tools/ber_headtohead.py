@@ -66,6 +66,13 @@ def main() -> int:
     ap.add_argument("--ebn0", type=float, nargs="+", default=[7.0, 8.0, 10.0])
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--lead", type=int, default=2000,
+                    help="noise-only samples prepended to the capture "
+                         "(both decoders see them).  A signal starting at "
+                         "sample 0 truncates the sync correlation's left "
+                         "skirt at the capture head, which skews the "
+                         "locked path's folded timing estimate — real "
+                         "captures begin with noise")
     ap.add_argument("--ref", default="/root/reference")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -100,6 +107,11 @@ def main() -> int:
         npow = sig_pow / (10 ** (db / 10) / CONFIG.samples_per_symbol)
         noisy = s + (rng.standard_normal(len(s))
                      + 1j * rng.standard_normal(len(s))) * np.sqrt(npow / 2)
+        if args.lead:
+            noisy = np.concatenate([
+                (rng.standard_normal(args.lead)
+                 + 1j * rng.standard_normal(args.lead))
+                * np.sqrt(npow / 2), noisy])
         # the common wire capture: int16-quantized exactly like the radio
         wire = np.empty((len(noisy), 2), dtype="<i2")
         wire[:, 0] = np.clip(np.trunc(noisy.real), -32768, 32767)
@@ -167,6 +179,7 @@ def main() -> int:
             f"| int8 {row['locked_int8_agc']['ber']:.3e}")
 
     out = {"frames_per_point": nf, "seed": args.seed,
+           "lead_noise_samples": args.lead,
            "alignment": "best single global shift; uncovered truth rows "
                         "count fully errored",
            "rows": rows}

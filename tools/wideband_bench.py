@@ -85,18 +85,24 @@ def main() -> int:
     enc = encode_frame(jnp.asarray(frames))
     bits = np.asarray(frame_to_symbol_bits(enc)).reshape(-1)
 
+    # every active channel carries the same MSK content at its own carrier
+    # with a random (deterministic-seed) phase: the per-sample mixer sum
+    # over active carriers is PERIODIC in t with period K, so it reduces to
+    # one precomputed K-point comb — O(n) synthesis for ANY active count
+    # (the old per-channel unrolled mix was O(n x active))
+    ph = np.random.default_rng(0).uniform(0, 2 * np.pi, len(active))
+    u = np.arange(k)[:, None]
+    comb = (np.exp(1j * ph)[None, :]
+            * np.exp(2j * np.pi * np.asarray(active)[None, :] * u / k)
+            ).sum(axis=1).astype(np.complex64)
+
     @jax.jit
     def synth(bits_dev):
         iq, _ = modulate_bits_fast(bits_dev, mod_reset())
         s = (iq[:, 0].astype(jnp.float32) +
              1j * iq[:, 1].astype(jnp.float32)).astype(jnp.complex64)
         up = jnp.repeat(s, k)            # ZOH to the wideband rate
-        t = jnp.arange(n_wb, dtype=jnp.float32)
-        wb = jnp.zeros(n_wb, jnp.complex64)
-        for c in active:                 # few channels; python-unrolled
-            tone = jnp.exp(2j * jnp.pi * (c / k) * t).astype(jnp.complex64)
-            wb = wb + up * tone
-        return wb
+        return up * jnp.tile(jnp.asarray(comb), n_wb // k)
 
     wideband = synth(jnp.asarray(bits))
     jax.block_until_ready(wideband)
