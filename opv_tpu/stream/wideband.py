@@ -145,6 +145,31 @@ class WidebandReceiver:
         results.extend(self.demod.flush())
         return results
 
+    # ------------------------------------------------------------------ #
+    # checkpoint/resume (stream/state.py): the wideband carry is the
+    # channelizer's filter-history window plus the inner engine's full
+    # state tree — restoring both resumes the digitizer stream seamlessly
+    # (channelization is streaming-exact across the checkpoint boundary).
+
+    def state_tree(self):
+        fn = getattr(self.demod, "state_tree", None)
+        if fn is None:
+            raise RuntimeError(
+                "wideband checkpointing requires engine='locked' (the "
+                "'fast' engine carries no stream state worth saving)")
+        return dict(buf=self._buf, count=np.int64(self._count), demod=fn())
+
+    def load_state_tree(self, tree) -> None:
+        buf = np.asarray(tree["buf"], np.complex64)
+        if buf.shape != (self.window,):
+            raise ValueError(
+                f"checkpoint window {buf.shape} does not match this "
+                f"receiver's geometry ({self.window},) — same k / "
+                f"taps_per_branch / quantum required")
+        self._buf = self._jnp.asarray(buf)
+        self._count = int(tree["count"])
+        self.demod.load_state_tree(tree["demod"])
+
     def stats(self):
         """Inner engine per-block timing/lifecycle stats (timing=True):
         device-wait vs host-lifecycle ms split per resolved block — the

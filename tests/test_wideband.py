@@ -89,3 +89,35 @@ class TestWidebandReceiver:
                      for c, fb, m, q, pos in fast if c == 1 and m <= 16)
         np.testing.assert_array_equal(np.stack([f for _, f in got]),
                                       np.asarray(frames))
+
+    def test_checkpoint_resume_identical(self, tmp_path):
+        """Checkpoint mid-stream, restore into a FRESH receiver, continue:
+        the combined tuple stream must be identical to an uninterrupted
+        run (channelizer filter history + inner engine state both carry
+        across the boundary — stream/state.py)."""
+        from opv_tpu.stream import load_state, save_state
+
+        k = 4
+        frames = build_bert_frame("W5NYV", frame_num=np.arange(8))
+        lead = np.zeros(2000 * k, np.complex128)
+        wb = {2: np.concatenate([lead, msk_wideband(frames, k)])}
+        x = synthesize_wideband(wb, k, len(wb[2]))
+
+        rx0 = WidebandReceiver(k, block_frames=3)
+        base = rx0.feed(x) + rx0.flush()
+
+        cut = len(x) // 2 - 777          # mid-stream, not block-aligned
+        rx1 = WidebandReceiver(k, block_frames=3)
+        head = rx1.feed(x[:cut])
+        save_state(str(tmp_path / "wb"), rx1.state_tree())
+
+        rx2 = WidebandReceiver(k, block_frames=3)
+        rx2.load_state_tree(load_state(str(tmp_path / "wb"),
+                                       rx1.state_tree()))
+        tail = rx2.feed(x[cut:]) + rx2.flush()
+        assert head + tail == base
+
+        # fast engine carries no checkpointable state: clear error
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="engine='locked'"):
+            WidebandReceiver(k, engine="fast").state_tree()
