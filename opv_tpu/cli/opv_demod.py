@@ -19,6 +19,15 @@ Options:
             (with -s --fast) demodulate N concurrent channels; the input
             stream is sample-interleaved across channels
             (I0 Q0 I1 Q1 ... I{N-1} Q{N-1} per sample instant)
+  --wideband K
+            (with -s --fast) the input is ONE digitizer stream at
+            K x 2.168 MSPS; a K-branch polyphase channelizer splits it
+            into K OPV channels feeding the locked engine (the reference
+            runs one radio + one process per channel, opv-pluto.sh:308;
+            this is the single-SDR wide-capture equivalent).  Frames are
+            tagged [ch N] on stderr; input is processed in one-frame-per-
+            channel quanta (86,720 x K samples), so expect ~2 frames of
+            latency
   --buf DT  (with -s --fast) stream-buffer dtype: auto (default: int8 on
             TPU, float32 elsewhere), float32, bfloat16, or int8 (fastest;
             the quantization step follows the input level per channel —
@@ -46,6 +55,7 @@ def main(argv=None) -> int:
     ap.add_argument("-h", action="store_true", dest="help")
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--channels", type=int, default=1)
+    ap.add_argument("--wideband", type=int, default=0, metavar="K")
     ap.add_argument("--buf", default="auto",
                     choices=("auto", "float32", "bfloat16", "int8"))
     ap.add_argument("--device", default="cpu")
@@ -61,6 +71,14 @@ def main(argv=None) -> int:
     if args.help:
         print(__doc__, file=sys.stderr)
         return 0
+    if args.wideband and not (args.streaming and args.fast):
+        print("--wideband requires -s --fast (the channelizer feeds the "
+              "locked streaming engine)", file=sys.stderr)
+        return 2
+    if args.wideband and args.channels > 1:
+        print("--wideband and --channels are mutually exclusive (the "
+              "channelizer defines the channel count)", file=sys.stderr)
+        return 2
 
     from opv_tpu.cli._platform import setup_platform
     setup_platform(args.device, x64=not args.fast)
@@ -113,21 +131,23 @@ def main(argv=None) -> int:
         # pipelined: block N computes while block N-1's results are being
         # fetched/printed — output is tuple-identical to the synchronous
         # driver and the CLI never checkpoints mid-stream
-        mc = LockedStreamDemodulator(channels=nch, pipeline=True,
-                                     dtype=args.buf,
-                                     timing=metrics_out is not None)
+        if not args.wideband:
+            mc = LockedStreamDemodulator(channels=nch, pipeline=True,
+                                         dtype=args.buf,
+                                         timing=metrics_out is not None)
         n_samples = 0
         carry = b""
         # each multichannel sample instant is nch interleaved IQ pairs
         quantum = 4 * nch
 
         n_emitted = 0
+        tag_ch = nch > 1 or args.wideband
 
         def handle(results):
             nonlocal n_emitted
             for c, fb, metric, q, _pos in results:
                 n_emitted += 1
-                if not args.quiet and nch > 1:
+                if not args.quiet and tag_ch:
                     print(f"[ch {c}]", file=err)
                 emit_frame(n_emitted, fb, metric, q)
 
@@ -136,6 +156,54 @@ def main(argv=None) -> int:
         if args.profile_dir:
             import jax
             prof = jax.profiler.trace(args.profile_dir)
+        if args.wideband:
+            # ONE digitizer stream -> K-branch channelizer -> locked
+            # engine.  Feeds go in exact channelizer quanta (one frame per
+            # channel) so every jitted shape repeats — ragged feeds would
+            # recompile per length (stream/wideband.py quantum docstring).
+            from opv_tpu.stream.wideband import WidebandReceiver
+            k = args.wideband
+            wb = WidebandReceiver(k, block_frames=2, pipeline=True,
+                                  dtype=args.buf,
+                                  timing=metrics_out is not None)
+            qbytes = 4 * wb._quantum
+            with prof:
+                while True:
+                    buf = stdin.read(max(65536 * 16, qbytes))
+                    if not buf:
+                        break
+                    buf = carry + buf
+                    nq = len(buf) // qbytes
+                    carry = buf[nq * qbytes:]
+                    for i in range(nq):
+                        x = iq_bytes_to_complex(
+                            buf[i * qbytes:(i + 1) * qbytes])
+                        n_samples += len(x)
+                        inner = wb.demod
+                        blocks_before = len(inner.block_stats)
+                        handle(wb.feed(x))
+                        if metrics_out is not None and \
+                                len(inner.block_stats) > blocks_before:
+                            emit_json(locked_metrics(inner, k,
+                                                     n_samples // k),
+                                      metrics_out)
+                if carry:
+                    x = iq_bytes_to_complex(carry[: len(carry) // 4 * 4])
+                    n_samples += len(x)
+                    handle(wb.feed(x))
+                handle(wb.flush())
+            if metrics_out is not None:
+                m = locked_metrics(wb.demod, k, n_samples // k)
+                m["final"] = True
+                emit_json(m, metrics_out)
+                if metrics_out is not sys.stderr:
+                    metrics_out.close()
+            if not args.quiet:
+                summary(wb.decoded, wb.perfect,
+                        n_samples / k / CONFIG.sample_rate,
+                        n_samples // k // CONFIG.samples_per_symbol,
+                        "-", 0.0)
+            return 0 if wb.decoded > 0 else 1
         with prof:
             while True:
                 buf = stdin.read(65536 * 16)

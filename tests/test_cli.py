@@ -129,6 +129,39 @@ class TestPipeLoopback:
                 for i in range(0, len(d1), CONFIG.frame_bytes)]
         assert sorted(frames) == sorted(want)
 
+    def test_fast_streaming_wideband(self):
+        """-s --fast --wideband 4: one digitizer stream at 4 x 2.168 MSPS
+        through the polyphase channelizer into the locked engine; both
+        active channels decode bit-exactly (frame set equality — stdout
+        order interleaves channels by block)."""
+        import pathlib, sys as _sys
+        _sys.path.insert(0, str(pathlib.Path(__file__).parent))
+        from test_channelizer import msk_wideband, synthesize_wideband
+        from opv_tpu.core import build_bert_frame
+
+        k = 4
+        sets = {0: np.asarray(build_bert_frame("W5NYV", frame_num=np.arange(4))),
+                2: np.asarray(build_bert_frame("TEST", frame_num=np.arange(4)))}
+        lead = np.zeros(2000 * k, np.complex128)
+        wb = {c: np.concatenate([lead, msk_wideband(f, k)])
+              for c, f in sets.items()}
+        n = max(map(len, wb.values()))
+        x = synthesize_wideband(wb, k, n) * 0.45   # 2 carriers: stay in i16
+        wire = np.empty((n, 2), dtype="<i2")
+        wire[:, 0] = np.clip(np.round(x.real), -32768, 32767)
+        wire[:, 1] = np.clip(np.round(x.imag), -32768, 32767)
+
+        dem = subprocess.run(
+            [sys.executable, "-m", "opv_tpu.cli.opv_demod", "-s", "--fast",
+             "--wideband", str(k), "-q", "-r"],
+            input=wire.tobytes(), capture_output=True, env=ENV, timeout=900)
+        assert dem.returncode == 0, dem.stderr[-2000:]
+        got = dem.stdout
+        frames = [got[i:i + CONFIG.frame_bytes]
+                  for i in range(0, len(got), CONFIG.frame_bytes)]
+        want = [bytes(f) for fs in sets.values() for f in fs]
+        assert sorted(frames) == sorted(want)
+
     def test_usage_errors(self):
         r = run_cli("opv_mod", [], capture_output=True, timeout=120)
         assert r.returncode != 0
