@@ -473,9 +473,13 @@ def refine_timing_locked(samples: jnp.ndarray, p0: jnp.ndarray,
     down ~sqrt(F)) and refines the folded peak to sub-sample resolution by
     parabolic interpolation.
 
-    Returns ((C,) p0_refined int32, (C,) frac in [0, 1)) such that the true
-    sync position is p0_refined + frac; feed frac to the soft stage's
-    blended kernel (_symbol_soft_batch).  Cost: n_frames slabs of ~1.7k
+    Returns ((C,) p0_refined int32, (C,) frac in [0, 1), (C, 43) fold)
+    such that the true sync position is p0_refined + frac; feed frac to
+    the soft stage's blended kernel (_symbol_soft_batch).  The raw folded
+    segment (bin b <-> sample offset p0 - 20 + b) is returned so streaming
+    drivers can ACCUMULATE folds across blocks — averaging the sufficient
+    statistic instead of the noisy per-window estimates
+    (stream/locked.py _FOLD_DECAY).  Cost: n_frames slabs of ~1.7k
     samples of dense correlation per channel — a few % of one dense hunt.
     """
     c = samples.shape[0]
@@ -514,7 +518,7 @@ def refine_timing_locked(samples: jnp.ndarray, p0: jnp.ndarray,
     valid0 = base + slab_len <= n_total
     p0r = jnp.where(valid0, p0r, p0)
     frac = jnp.where(valid0, frac, 0.5).astype(jnp.float32)
-    return p0r, frac
+    return p0r, frac, fold
 
 
 #: static bias of the smoothed 3-point parabola on the clean folded sync
@@ -570,6 +574,27 @@ def _fold_est(fold: jnp.ndarray) -> jnp.ndarray:
     return pk.astype(jnp.float32) + delta + 0.5   # smoothed-bin center
 
 
+def fold_est_np(fold: np.ndarray) -> np.ndarray:
+    """Numpy twin of _fold_est for HOST-side use on accumulated folds
+    (stream/locked.py fold accumulator: a tiny (C, 43) estimate per block
+    is not worth a device dispatch + fetch through a TPU tunnel).
+    Semantics pinned identical to the jax version by
+    tests/test_locked.py::test_fold_est_np_matches_jax."""
+    fold = np.asarray(fold, np.float64)
+    n_off = fold.shape[-1] - 2
+    sm = fold[:, :-1] + fold[:, 1:]
+    pk = np.argmax(sm[:, :n_off], axis=-1).astype(np.int64)
+    rows = np.arange(fold.shape[0])
+    r0 = sm[rows, pk]
+    rm = np.where(pk > 0, sm[rows, np.maximum(pk - 1, 0)], 0.0)
+    rp = sm[rows, pk + 1]
+    denom = rm - 2.0 * r0 + rp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        delta = np.where(np.abs(denom) > 1e-30, 0.5 * (rm - rp) / denom, 0.0)
+    delta = np.where(pk == 0, 0.0, np.clip(delta, -0.5, 0.5) - _PB_BIAS)
+    return (pk + delta + 0.5).astype(np.float32)
+
+
 def refine_timing_from_raw(raw: jnp.ndarray, p0: jnp.ndarray):
     """Sub-sample timing from an ALREADY-COMPUTED dense sync correlation.
 
@@ -621,16 +646,18 @@ def rx_locked_retime(samples: jnp.ndarray, p0: jnp.ndarray,
     frame AFTER p0 — so a backward drift straddling the window start stays
     visible — averaging every frame interval the window holds.
 
-    Returns ((C,) int32 delta in [-20, 20], (C,) float32 frac): the
-    corrected grid is p0 + delta with sub-sample frac.  Cost: n_frames
-    slabs of ~1k samples of dense correlation per channel.
+    Returns ((C,) int32 delta in [-20, 20], (C,) float32 frac, (C, 43)
+    fold): the corrected grid is p0 + delta with sub-sample frac; fold is
+    the raw folded segment (bin b <-> offset p0 - 20 + b) for cross-block
+    accumulation.  Cost: n_frames slabs of ~1k samples of dense
+    correlation per channel.
     """
     spf = _FS * _SPS
-    p0r, frac = refine_timing_locked(samples, p0 + spf, freq_offset,
-                                     n_frames=n_frames)
+    p0r, frac, fold = refine_timing_locked(samples, p0 + spf, freq_offset,
+                                           n_frames=n_frames)
     half = _SPS // 2
     delta = jnp.clip(p0r - spf - p0, -half, half).astype(jnp.int32)
-    return delta, frac
+    return delta, frac, fold
 
 
 def _slice_rows(x: jnp.ndarray, starts: jnp.ndarray, length: int) -> jnp.ndarray:

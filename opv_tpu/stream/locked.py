@@ -101,13 +101,36 @@ class LockedStreamDemodulator:
     REFRESH_METRIC_MIN = 400
     _EMA_ALPHA = 0.1
     #: timing-refresh blending: a retime estimate within this many samples
-    #: of the carried grid is noise-regime — blend it (EMA, alpha below)
-    #: so repeated waterfall refreshes converge the grid ~sqrt(1/alpha)
-    #: below one window-fold's wobble; a larger jump is a real drift event
-    #: and re-anchors immediately (the drift tests' ppm-scale slips move
-    #: 2-6 samples per refresh)
+    #: of the carried grid is noise-regime — its FOLD is accumulated into a
+    #: per-channel EMA of the folded sync-correlation segment itself
+    #: (decay below), and the grid re-estimates from the accumulated fold:
+    #: averaging the sufficient statistic instead of the noisy per-window
+    #: argmax estimates deepens the effective fold ~(1+d)/(1-d) x the
+    #: window depth and is robust to the waterfall's occasional multi-
+    #: sample argmax outliers (PERF.md round 4: a depth-5 window fold can
+    #: argmax several samples off at 7 dB).  A larger jump may be a real
+    #: drift event (the drift tests' ppm-scale slips move 2-6 samples per
+    #: refresh) OR a waterfall argmax outlier — drift is persistent block
+    #: to block while outliers are not, so the jump is adopted only when
+    #: two consecutive retimes propose a drift-sized move the SAME WAY
+    #: (_big_dir); on adoption the accumulator resets to the fresh fold.
     _TIMING_TRUST = 2.0
-    _TIMING_ALPHA = 0.3
+    #: 0.97 ~ 33-window memory: x4 fold intervals per retime ~ the batch
+    #: acquisition's 128-deep fold, which measures 0.05 samples from truth
+    #: at 7 dB where a depth-4 window fold scatters +-4 (tools probe,
+    #: PERF.md round 4 streaming section)
+    _FOLD_DECAY = 0.97
+    #: accumulated-weight threshold above which the deep fold outvotes a
+    #: sign-confirmed big jump unless it agrees with its direction
+    _FOLD_DEEP = 6.0
+    #: warmup: a locked channel retimes EVERY block until its accumulator
+    #: holds ~this many fold INTERVALS (window count x block_frames) —
+    #: the single-window hunt grid can sit several samples off at
+    #: waterfall SNR, and the symptom gates (REFRESH_Q, metric rise) fire
+    #: too rarely at 8-10 dB to build depth.  ~100 folds ~ the batch
+    #: 128-deep fold; after warmup the cadence returns to symptom-gated
+    #: (no standing fetch cost on clean steady channels)
+    _FOLD_WARM_FOLDS = 100.0
 
     #: int8 AGC: re-evaluate the per-channel quantization scale every this
     #: many resolved blocks (one tiny stats fetch each time; per-block
@@ -191,8 +214,10 @@ class LockedStreamDemodulator:
         import jax.numpy as jnp
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
-        from opv_tpu.rx.locked import (rx_locked_reacquire, rx_locked_retime,
-                                       rx_locked_steady)
+        from opv_tpu.rx.locked import (fold_est_np, rx_locked_reacquire,
+                                       rx_locked_retime, rx_locked_steady)
+
+        self._fold_est_np = fold_est_np
 
         self.mesh = mesh
         if mesh is not None:
@@ -267,7 +292,7 @@ class LockedStreamDemodulator:
         self._retime = jit_s(
             lambda b, p, f, sc: rx_locked_retime(_cplx(b, sc), p, f,
                                                  n_frames=block_frames),
-            (BUF, CH, CH, CH), (CH, CH))
+            (BUF, CH, CH, CH), (CH, CH, CH))
 
         self.channels = channels
         self.block_frames = block_frames
@@ -306,6 +331,16 @@ class LockedStreamDemodulator:
         self._want_refresh = np.zeros(channels, bool)
         self.metric_ema = np.full(channels, np.nan)  # per-channel baseline
         self.refreshes = 0               # completed drift refreshes (p0 moved)
+        # cross-block folded-timing accumulator (see _FOLD_DECAY): bin b of
+        # row c maps to sample offset p0[c] - 20 + b of the current window
+        self._fold_acc = np.zeros((channels, 2 * (CONFIG.samples_per_symbol
+                                                  // 2) + 3), np.float64)
+        self._fold_ok = np.zeros(channels, bool)
+        self._fold_w = np.zeros(channels)   # decayed window count (depth)
+        # sign of the last UNCONFIRMED drift-sized retime proposal (0 =
+        # none): a big jump is only adopted when two consecutive retimes
+        # agree on its direction (see _TIMING_TRUST comment)
+        self._big_dir = np.zeros(channels, np.int8)
 
         self.decoded = 0
         self.perfect = 0
@@ -537,21 +572,75 @@ class LockedStreamDemodulator:
         p0_wrapped = self.p0
         retune = self.refresh & self.locked
         if retune.any():
-            delta, frac_new = self._retime(buf, put("p0", self.p0),
-                                           put("foff", self.freq_offset),
-                                           self._scale)
-            delta = np.asarray(delta)
-            frac_new = np.asarray(frac_new)
+            out_rt = self._retime(buf, put("p0", self.p0),
+                                  put("foff", self.freq_offset),
+                                  self._scale)
+            # ONE batched fetch (three serial np.asarray = three tunnel RTT)
+            delta, frac_new, fold = self._jax.device_get(out_rt)
             delta = np.where(retune, delta, 0).astype(np.int32)
-            # trust-region blend (see _TIMING_TRUST/_TIMING_ALPHA): noise-
-            # regime estimates EMA into the carried grid; drift events
-            # re-anchor immediately
+            # energy gate: the retime window is anchored one frame AHEAD
+            # of p0, so at a burst tail (or in a deep fade) it folds
+            # silence — a near-zero-energy fold vs the channel's
+            # accumulated per-window average is garbage whose edge-pegged
+            # argmax would walk the grid off the final frame.  Skip the
+            # retime entirely for such channels.
+            with np.errstate(invalid="ignore", divide="ignore"):
+                avg = self._fold_acc.sum(axis=1) \
+                    / np.maximum(self._fold_w, 1e-9)
+            weak = (self._fold_ok & (self._fold_w > 0)
+                    & (fold.sum(axis=1) < 0.3 * avg))
+            retune = retune & ~weak
+            # trust-region (see _TIMING_TRUST/_FOLD_DECAY): a drift-sized
+            # jump needs sign-consistent CONFIRMATION by the next retime
+            # before the fresh single-window estimate is adopted (real
+            # clock drift is persistent block to block; a waterfall-SNR
+            # single-window fold argmax outlier is not — adopting outliers
+            # yanked the grid +-5..9 samples and cost ~2x BER at 8 dB);
+            # noise-regime folds accumulate and the grid re-estimates from
+            # the DEEP average
             cur = self.p0.astype(np.float64) + self.frac
-            est = (self.p0 + delta).astype(np.float64) + frac_new
-            diff = est - cur
-            blend = np.where(np.abs(diff) > self._TIMING_TRUST, est,
-                             cur + self._TIMING_ALPHA * diff)
-            blend = np.where(retune, blend, cur)
+            est_one = (self.p0 + delta).astype(np.float64) + frac_new
+            dev = est_one - cur
+            big = np.abs(dev) > self._TIMING_TRUST
+            sgn = np.sign(dev).astype(np.int8)
+            half = self.sps // 2
+            est_acc0 = (self.p0 - half).astype(np.float64) \
+                + self._fold_est_np(self._fold_acc)
+            # a DEEP accumulator outvotes a sign-confirmed big jump unless
+            # the deep estimate leans the same way (real drift drags the
+            # accumulated apex along; two same-sign waterfall argmax
+            # outliers do not)
+            deep = self._fold_ok & (self._fold_w >= self._FOLD_DEEP)
+            agree = np.sign(est_acc0 - cur).astype(np.int8) == sgn
+            adopt = retune & big & (sgn == self._big_dir) & (~deep | agree)
+            hold = retune & big & ~adopt
+            self._big_dir[hold] = sgn[hold]
+            self._big_dir[retune & ~big] = 0
+            # fold accumulation: adoption re-seeds (the old accumulation
+            # belongs to the rejected grid); held and noise-regime folds
+            # both accumulate — the fold is the sufficient statistic, one
+            # window's argmax outlier does not corrupt it
+            seed = adopt | (retune & ~self._fold_ok)
+            accum = retune & ~seed
+            self._fold_acc[seed] = fold[seed]
+            self._fold_w[seed] = 1.0
+            self._fold_acc[accum] = (self._FOLD_DECAY
+                                     * self._fold_acc[accum] + fold[accum])
+            self._fold_w[accum] = self._FOLD_DECAY * self._fold_w[accum] + 1
+            self._fold_ok |= retune
+            est_acc = (self.p0 - half).astype(np.float64) \
+                + self._fold_est_np(self._fold_acc)
+            est = np.where(adopt, est_one, est_acc)
+            # a held channel with a shallow accumulator takes a CLIPPED
+            # step toward the fresh estimate: under real drift (error
+            # growing ~5 samples/block) this keeps the grid inside the
+            # decode-safe zone until the next retime confirms, while a
+            # noise outlier costs at most TRUST samples for one block;
+            # deep channels follow the deep estimate regardless
+            step = cur + np.clip(dev, -self._TIMING_TRUST,
+                                 self._TIMING_TRUST)
+            est = np.where(hold & ~deep, step, est)
+            blend = np.where(retune, est, cur)
             p0n = np.floor(blend).astype(np.int32)
             frac_n = (blend - p0n).astype(np.float32)
             # p0n < 0: the drifted grid steps back across the window start.
@@ -564,6 +653,22 @@ class LockedStreamDemodulator:
             # doubled across the wrap.
             wrap = p0n < 0
             moved = retune & (p0n != self.p0)
+            # keep the accumulator aligned with the adopted grid: bin b of
+            # _fold_acc maps to offset p0 - 20 + b, so a p0 move by d
+            # shifts the apex by -d bins (wraps re-anchor next refresh)
+            for c in np.flatnonzero(moved):
+                if wrap[c]:
+                    self._fold_ok[c] = False
+                    continue
+                d = int(p0n[c]) - int(self.p0[c])
+                if abs(d) >= self._fold_acc.shape[1]:
+                    self._fold_ok[c] = False
+                else:
+                    self._fold_acc[c] = np.roll(self._fold_acc[c], -d)
+                    if d > 0:
+                        self._fold_acc[c, -d:] = 0.0
+                    elif d < 0:
+                        self._fold_acc[c, :-d] = 0.0
             self.p0 = np.where(wrap, self.p0, p0n).astype(np.int32)
             p0_wrapped = np.where(wrap, p0n + self.spf, self.p0).astype(np.int32)
             self.refreshes += int(moved.sum())
@@ -624,7 +729,21 @@ class LockedStreamDemodulator:
                                    self._put_state("frac", self.frac))
             results.extend(self._emit(out2, valid_limit, only=dropped,
                                       min_pos=self._dropped_at, base=base))
-        self.refresh = self._want_refresh & self.locked
+        warm = max(4.0, self._FOLD_WARM_FOLDS / self.block_frames)
+        # miss > 0 (flywheel riding at block end — burst tail or fade):
+        # the window's trailing frame intervals hold no signal, so a
+        # retime fold over them is garbage that can walk the grid off a
+        # finished burst (test_reacquire_within_drop_block's +4 slip)
+        self.refresh = ((self._want_refresh
+                         | (self._fold_w < warm))
+                        & self.locked & (self.miss == 0))
+        # the fold accumulator is anchored to a LOCKED channel's stable
+        # grid: any lock transition (drop, re-hunt, fresh lock on a new
+        # burst) re-anchors p0, so the carried fold no longer aligns
+        stable = self.locked & prev_locked
+        self._fold_ok &= stable
+        self._fold_w[~stable] = 0.0
+        self._big_dir[~stable] = 0
         self._blocks += 1
         # AGC cadence — plus every lock-TRANSITION block: lock loss often
         # IS a level change (burst onset on a quiet channel, fade), and the
@@ -937,6 +1056,8 @@ class LockedStreamDemodulator:
             freq_offset=self.freq_offset,
             locked=self.locked, miss=self.miss, refresh=self.refresh,
             metric_ema=self.metric_ema,
+            fold_acc=self._fold_acc.copy(), fold_ok=self._fold_ok.copy(),
+            fold_w=self._fold_w.copy(), big_dir=self._big_dir.copy(),
             scale=self._scale_np.copy(),
             decoded=np.int64(self.decoded), perfect=np.int64(self.perfect),
         )
@@ -1000,6 +1121,20 @@ class LockedStreamDemodulator:
             self.refresh = np.asarray(tree["refresh"], bool)
         if "metric_ema" in tree:
             self.metric_ema = np.asarray(tree["metric_ema"], np.float64)
+        if "fold_acc" in tree:
+            self._fold_acc = np.asarray(tree["fold_acc"], np.float64).copy()
+            self._fold_ok = np.asarray(tree["fold_ok"], bool).copy()
+        else:                            # pre-round-4 checkpoint: cold acc
+            self._fold_acc[:] = 0.0
+            self._fold_ok[:] = False
+        if "big_dir" in tree:
+            self._big_dir = np.asarray(tree["big_dir"], np.int8).copy()
+        else:
+            self._big_dir[:] = 0
+        if "fold_w" in tree:
+            self._fold_w = np.asarray(tree["fold_w"], np.float64).copy()
+        else:
+            self._fold_w[:] = 0.0
         self.decoded = int(tree["decoded"])
         self.perfect = int(tree["perfect"])
         # the restored scale is authoritative; don't re-prime off the next

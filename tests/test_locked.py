@@ -106,6 +106,19 @@ class TestLocked:
         assert abs(compute() - _PB_BIAS) < 1e-6
         assert abs(compute(nf=6) - _PB_BIAS) < 0.1   # depth drift bound
 
+    def test_fold_est_np_matches_jax(self):
+        """fold_est_np (the host-side twin used by the streaming fold
+        accumulator) must reproduce _fold_est exactly, including the
+        pk==0 fallback and the bias calibration."""
+        from opv_tpu.rx.locked import _fold_est, fold_est_np
+        rng = np.random.default_rng(5)
+        seg = rng.standard_normal((64, 43)) * 100 + 500
+        seg[0, :] = np.linspace(1000, 10, 43)       # pk==0 edge case
+        seg[1, :] = np.linspace(10, 1000, 43)       # right-edge peak
+        a = np.asarray(_fold_est(jnp.asarray(seg)))
+        b = fold_est_np(seg)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
     def test_timing_refinement_integer_delay(self):
         """refine_timing_locked folds the dense sync correlation across all
         frame intervals: on a noisy integer-delayed capture the refined p0
@@ -128,7 +141,7 @@ class TestLocked:
               ).astype(np.complex64) * 4000.0
         p0 = jnp.asarray([d + e for d, e in zip(delays, (2, -3, 1))],
                          jnp.int32)             # jittered single-shot locks
-        p0r, frac = refine_timing_locked(jnp.asarray(x), p0,
+        p0r, frac, _ = refine_timing_locked(jnp.asarray(x), p0,
                                          jnp.zeros(len(delays), jnp.float32),
                                          n_frames=6)
         est = np.asarray(p0r) + np.asarray(frac)
@@ -147,7 +160,7 @@ class TestLocked:
         clean = np.zeros((3, n), np.complex64)
         clean[:, 5000:5000 + len(s)] = s
         p0c = jnp.asarray([5000 + j for j in (-5, 0, 3)], jnp.int32)
-        p0r, frac = refine_timing_locked(jnp.asarray(clean), p0c,
+        p0r, frac, _ = refine_timing_locked(jnp.asarray(clean), p0c,
                                          jnp.zeros(3, jnp.float32),
                                          n_frames=6)
         np.testing.assert_allclose(np.asarray(p0r) + np.asarray(frac),
@@ -168,7 +181,7 @@ class TestLocked:
         x = np.zeros((1, len(s) + 4000), np.complex64)
         d = 1000
         x[0, d:d + len(sh)] = sh
-        p0r, frac = refine_timing_locked(
+        p0r, frac, _ = refine_timing_locked(
             jnp.asarray(x), jnp.asarray([d], jnp.int32),
             jnp.zeros(1, jnp.float32), n_frames=5)
         est = float(np.asarray(p0r)[0]) + float(np.asarray(frac)[0])

@@ -738,3 +738,38 @@ class TestInt8Agc:
         assert [r[1] for r in quiet] == tail
         assert all(r[2] == 0 for r in quiet)
         assert sd._scale_np[0] < 1.0                 # step followed the drop
+
+
+class TestWaterfallTiming:
+    def test_fold_accumulator_converges_grid_at_waterfall(self):
+        """At waterfall SNR a single-window retime fold scatters +-4
+        samples; the cross-block fold accumulator (stream/locked.py
+        _FOLD_DECAY) must average the grid onto the true timing instead of
+        letting outlier estimates yank it around (the round-4 streaming
+        BER gap: pre-accumulator the grid wandered +-5..9 samples and
+        cost ~2x BER at 8 dB vs the batch path)."""
+        nf, lead = 60, 2000
+        s, frames = _signal(nf)
+        sig_pow = float(np.mean(np.abs(s[: nf * SPF]) ** 2))
+        rng = np.random.default_rng(11)
+        # 7.5 dB Eb/N0 (per-sample SNR x sps)
+        npow = sig_pow / (10 ** 0.75 / CONFIG.samples_per_symbol)
+        noisy = np.concatenate([
+            np.zeros(lead, np.complex64), s]).astype(np.complex128)
+        noisy += (rng.standard_normal(len(noisy))
+                  + 1j * rng.standard_normal(len(noisy))) * np.sqrt(npow / 2)
+        x = noisy.astype(np.complex64)[None, :]
+
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        out = _run(sd, x)
+        got = [r for r in out if r[0] == 0]
+        assert len(got) >= nf - 2                  # no lock losses
+        # warmup retimes built real accumulator depth
+        assert sd._fold_w[0] > 8.0
+        # the last third of the stream sits on the converged grid: emitted
+        # sync positions within one sample of the true grid (signal starts
+        # at `lead`, sync-word start == frame start for BERT frames)
+        tail_pos = np.array([r[4] for r in got[-(len(got) // 3):]], np.int64)
+        err = (tail_pos - lead) % SPF
+        err = np.where(err > SPF // 2, err - SPF, err)
+        assert np.all(np.abs(err) <= 1), f"tail grid errors {np.unique(err)}"

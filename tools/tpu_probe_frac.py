@@ -105,8 +105,8 @@ def main() -> int:
         if stages() or args.stage == 2:
             d = watchdog(120, "refine execute")
             t0 = time.time()
-            p0r, frac = compiled(x, jnp.array([100, 5000], jnp.int32),
-                                 jnp.zeros(C, jnp.float32))
+            p0r, frac, _fold = compiled(x, jnp.array([100, 5000], jnp.int32),
+                                        jnp.zeros(C, jnp.float32))
             log(f"stage 2 refine execute OK p0r={np.asarray(p0r)} "
                 f"frac={np.asarray(frac)} ({time.time() - t0:.1f}s)")
             d.set()
