@@ -129,8 +129,13 @@ class LockedStreamDemodulator:
     #: waterfall SNR, and the symptom gates (REFRESH_Q, metric rise) fire
     #: too rarely at 8-10 dB to build depth.  ~100 folds ~ the batch
     #: 128-deep fold; after warmup the cadence returns to symptom-gated
-    #: (no standing fetch cost on clean steady channels)
     _FOLD_WARM_FOLDS = 100.0
+    #: ... but only for channels that NEED it: warmup retimes cost one
+    #: extra device dispatch + fetch (a tunnel RTT) per block, and a clean
+    #: channel's hunt grid is already decisive.  The Viterbi metric EMA is
+    #: the regime gauge — ~0-50 on clean decodes, >1000 across the 8-10 dB
+    #: waterfall — so clean steady channels pay no standing warmup cost
+    _WARM_METRIC_MIN = 100.0
 
     #: int8 AGC: re-evaluate the per-channel quantization scale every this
     #: many resolved blocks (one tiny stats fetch each time; per-block
@@ -730,12 +735,14 @@ class LockedStreamDemodulator:
             results.extend(self._emit(out2, valid_limit, only=dropped,
                                       min_pos=self._dropped_at, base=base))
         warm = max(4.0, self._FOLD_WARM_FOLDS / self.block_frames)
+        with np.errstate(invalid="ignore"):
+            warming = ((self._fold_w < warm)
+                       & (self.metric_ema > self._WARM_METRIC_MIN))
         # miss > 0 (flywheel riding at block end — burst tail or fade):
         # the window's trailing frame intervals hold no signal, so a
         # retime fold over them is garbage that can walk the grid off a
         # finished burst (test_reacquire_within_drop_block's +4 slip)
-        self.refresh = ((self._want_refresh
-                         | (self._fold_w < warm))
+        self.refresh = ((self._want_refresh | warming)
                         & self.locked & (self.miss == 0))
         # the fold accumulator is anchored to a LOCKED channel's stable
         # grid: any lock transition (drop, re-hunt, fresh lock on a new
