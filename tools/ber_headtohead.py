@@ -193,6 +193,19 @@ def main() -> int:
                                    "block_frames": 12,
                                    "wall_s": round(time.time() - t0, 2)}
 
+        # same causal driver on the int8 AGC window buffer (the TPU
+        # serving default: `opv-demod -s --fast` auto-selects int8 on tpu)
+        sd8 = LockedStreamDemodulator(1, block_frames=12, dtype="int8")
+        res = []
+        for off in range(0, sx.shape[1], step):
+            res.extend(sd8.feed(sx[:, off:off + step]))
+        res.extend(sd8.flush())
+        s8 = np.stack([np.frombuffer(r[1], np.uint8) for r in res]) \
+            if res else np.zeros((0, CONFIG.frame_bytes), np.uint8)
+        be, fe = seq_stats(s8, truth)
+        row["locked_streaming_int8"] = {"ber": be / (truth.size * 8),
+                                        "fer": fe / nf, "decoded": len(s8)}
+
         rows.append(row)
         log(f"Eb/N0 {db:4.1f} dB: ref BER {row['reference']['ber']:.3e} "
             f"| tracking {row['tracking']['ber']:.3e} "
