@@ -121,3 +121,48 @@ class TestWidebandReceiver:
         import pytest as _pytest
         with _pytest.raises(RuntimeError, match="engine='locked'"):
             WidebandReceiver(k, engine="fast").state_tree()
+
+
+class TestWidebandWaterfall:
+    def test_noisy_channel_decodes_with_bounded_ber(self):
+        """Wideband AWGN at a near-waterfall per-channel Eb/N0: the
+        channelizer -> locked-engine chain (including the streaming fold
+        accumulator's warmup retimes, which only fire in this noisy
+        regime) must keep the channel decoding with a bounded BER instead
+        of letting shallow timing estimates walk the grid."""
+        import jax
+        from opv_tpu.config import CONFIG
+        from opv_tpu.rx.channelizer import synthesize_wideband
+
+        k, nf = 4, 16
+        frames = build_bert_frame("W5NYV", frame_num=np.arange(nf))
+        lead = np.zeros(2000 * k, np.complex128)
+        wb = {1: np.concatenate([lead, msk_wideband(frames, k)])}
+        n = len(wb[1])
+        x = synthesize_wideband(wb, k, n)
+        # white noise at the WIDEBAND rate; per-channel noise power is
+        # ~1/k of it through the (unit-passband) polyphase bank, so this
+        # lands the channel a little above the FEC waterfall knee
+        amp = CONFIG.iq_amplitude
+        snr_ch = 10 ** 0.85 / CONFIG.samples_per_symbol
+        sigma2 = k * amp * amp / snr_ch
+        rng = np.random.default_rng(5)
+        x = x + (rng.standard_normal(n)
+                 + 1j * rng.standard_normal(n)) * np.sqrt(sigma2 / 2)
+
+        rx = WidebandReceiver(k, block_frames=4)
+        res = rx.feed(x) + rx.flush()
+        got = np.stack([np.frombuffer(fb, np.uint8) for c, fb, m, q, p in
+                        sorted((r for r in res if r[0] == 1),
+                               key=lambda r: r[4])])  # stream order
+        assert len(got) >= nf - 1, f"lost {nf - len(got)} frames"
+        # BER at the best single alignment (a dropped head frame shifts
+        # the whole sequence); uncovered truth rows count fully errored
+        tb = np.unpackbits(frames, axis=1)
+        gb = np.unpackbits(got[:nf], axis=1)
+        best = tb.size
+        for d in range(0, nf - len(gb) + 1):
+            e = int((gb != tb[d:d + len(gb)]).sum()) \
+                + (nf - len(gb)) * tb.shape[1]
+            best = min(best, e)
+        assert best / tb.size <= 3e-2, f"wideband BER {best / tb.size:.3e}"
