@@ -773,3 +773,35 @@ class TestWaterfallTiming:
         err = (tail_pos - lead) % SPF
         err = np.where(err > SPF // 2, err - SPF, err)
         assert np.all(np.abs(err) <= 1), f"tail grid errors {np.unique(err)}"
+
+    def test_checkpoint_resume_waterfall_fold_state(self, tmp_path):
+        """Checkpoint mid-stream at waterfall SNR, while the fold
+        accumulator is warm and mid-convergence: the resumed driver must
+        reproduce the uninterrupted tuple stream exactly (fold_acc /
+        fold_w / big_dir are part of the carried grid state — dropping
+        them would re-warm the accumulator and re-estimate a different
+        grid)."""
+        nf = 24
+        s, frames = _signal(nf)
+        rng = np.random.default_rng(9)
+        npow = float(np.mean(np.abs(s[: nf * SPF]) ** 2)) \
+            / (10 ** 0.8 / CONFIG.samples_per_symbol)
+        x = (s.astype(np.complex128)
+             + (rng.standard_normal(len(s))
+                + 1j * rng.standard_normal(len(s)))
+             * np.sqrt(npow / 2)).astype(np.complex64)[None, :]
+
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        cut = 15 * SPF + 1000                # mid-warmup (w < warm target)
+        out_a = sd.feed(x[:, :cut])
+        assert sd._fold_w[0] > 0             # accumulator really is warm
+        save_state(str(tmp_path / "wf"), sd.state_tree())
+
+        sd2 = LockedStreamDemodulator(1, block_frames=4)
+        sd2.load_state_tree(load_state(str(tmp_path / "wf"),
+                                       sd.state_tree()))
+        out_b = sd2.feed(x[:, cut:])
+        out_b.extend(sd2.flush())
+
+        ref = _run(LockedStreamDemodulator(1, block_frames=4), x)
+        assert out_a + out_b == ref
