@@ -32,6 +32,11 @@ Options:
             TPU, float32 elsewhere), float32, bfloat16, or int8 (fastest;
             the quantization step follows the input level per channel —
             AGC, see stream/locked.py _agc_update)
+  --block N (with -s --fast) frames per engine block (default 4; 2 with
+            --wideband).  Larger blocks amortize the per-block host round
+            trip over more air time and fold deeper per timing retime
+            (BER_r04.json's locked_streaming rows use 12) at +40 ms
+            latency per frame
   --device  jax platform (default cpu)
 
 Exit code 0 iff at least one frame decoded (opv-demod.cpp:1124, 1216).
@@ -58,6 +63,7 @@ def main(argv=None) -> int:
     ap.add_argument("--wideband", type=int, default=0, metavar="K")
     ap.add_argument("--buf", default="auto",
                     choices=("auto", "float32", "bfloat16", "int8"))
+    ap.add_argument("--block", type=int, default=None, metavar="N")
     ap.add_argument("--device", default="cpu")
     ap.add_argument("--metrics", dest="metrics_file", default=None,
                     help="write JSON-lines metrics snapshots to FILE "
@@ -134,6 +140,7 @@ def main(argv=None) -> int:
         if not args.wideband:
             mc = LockedStreamDemodulator(channels=nch, pipeline=True,
                                          dtype=args.buf,
+                                         block_frames=args.block or 4,
                                          timing=metrics_out is not None)
         n_samples = 0
         carry = b""
@@ -163,8 +170,8 @@ def main(argv=None) -> int:
             # recompile per length (stream/wideband.py quantum docstring).
             from opv_tpu.stream.wideband import WidebandReceiver
             k = args.wideband
-            wb = WidebandReceiver(k, block_frames=2, pipeline=True,
-                                  dtype=args.buf,
+            wb = WidebandReceiver(k, block_frames=args.block or 2,
+                                  pipeline=True, dtype=args.buf,
                                   timing=metrics_out is not None)
             qbytes = 4 * wb._quantum
             with prof:

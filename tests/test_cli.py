@@ -80,6 +80,14 @@ class TestPipeLoopback:
             input=mod.stdout, capture_output=True, env=ENV, timeout=600)
         assert dem.returncode == 0
         assert dem.stdout == data
+        # --block N (engine block size, the BER/latency/throughput lever):
+        # same frames out
+        dem2 = subprocess.run(
+            [sys.executable, "-m", "opv_tpu.cli.opv_demod", "-s", "--fast",
+             "-q", "-r", "--block", "2"],
+            input=mod.stdout, capture_output=True, env=ENV, timeout=600)
+        assert dem2.returncode == 0
+        assert dem2.stdout == data
 
     def test_fast_streaming_single_frame_burst(self):
         """-s --fast on a 1-frame capture: the locked engine's hunt cannot
