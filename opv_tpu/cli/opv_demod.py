@@ -36,7 +36,11 @@ Options:
             --wideband).  Larger blocks amortize the per-block host round
             trip over more air time and fold deeper per timing retime
             (BER_r04.json's locked_streaming rows use 12) at +40 ms
-            latency per frame
+            latency per frame — but timing corrections happen at block
+            boundaries, so sample-clock drift tolerance shrinks with N
+            (slip per block must stay well under half a symbol: ~5 ppm
+            at the default 4; keep the default for free-running
+            crystals, go large for disciplined/GPSDO sources)
   --device  jax platform (default cpu)
 
 Exit code 0 iff at least one frame decoded (opv-demod.cpp:1124, 1216).

@@ -805,3 +805,39 @@ class TestWaterfallTiming:
 
         ref = _run(LockedStreamDemodulator(1, block_frames=4), x)
         assert out_a + out_b == ref
+
+    def test_drift_plus_noise_tracks_with_bounded_ber(self):
+        """The real-world hard case: a free-running-crystal clock drift
+        (+16 ppm, ~5.5 samples of slip per 4-frame block) AND waterfall-
+        adjacent noise (9 dB Eb/N0) together.  The confirmation rule must
+        adopt the persistent drift proposals while the accumulator
+        absorbs the noise outliers: no lock loss, every frame emitted,
+        BER bounded.  (At block_frames=12 the same drift slips ~17
+        samples per block — beyond the retime geometry; the --block CLI
+        help documents that tradeoff.)"""
+        nf = 80
+        s, frames = _signal(nf)
+        d = 16e-6
+        n_out = int(len(s) / (1 + d))
+        t = np.arange(n_out) * (1 + d)
+        base = np.arange(len(s), dtype=np.float64)
+        drifted = (np.interp(t, base, s.real.astype(np.float64))
+                   + 1j * np.interp(t, base, s.imag.astype(np.float64)))
+        sig_pow = float(np.mean(np.abs(drifted[: nf * SPF]) ** 2))
+        npow = sig_pow / (10 ** 0.9 / CONFIG.samples_per_symbol)
+        rng = np.random.default_rng(21)
+        x = (drifted + (rng.standard_normal(len(drifted))
+                        + 1j * rng.standard_normal(len(drifted)))
+             * np.sqrt(npow / 2)).astype(np.complex64)[None, :]
+
+        sd = LockedStreamDemodulator(1, block_frames=4)
+        out = _run(sd, x)
+        assert len(out) >= nf - 1, f"lost {nf - len(out)} frames"
+        assert sd.reacquisitions <= 1        # initial acquisition only
+        tb = np.unpackbits(frames, axis=1)
+        gb = np.unpackbits(np.stack(
+            [np.frombuffer(r[1], np.uint8) for r in out])[:nf], axis=1)
+        n = len(gb)
+        best = min(int((gb != tb[k:k + n]).sum()) + (nf - n) * tb.shape[1]
+                   for k in range(nf - n + 1))
+        assert best / tb.size <= 5e-3, f"drift+noise BER {best / tb.size:.3e}"
