@@ -396,6 +396,29 @@ class LockedStreamDemodulator:
                     jnp.maximum(mx, jnp.maximum(jnp.abs(r).max(axis=1),
                                                 jnp.abs(i).max(axis=1))))
 
+        agc_en = bool(agc) and int8
+
+        def ingest_c(buf, row, x, scale, ss, mx):
+            # AGC stat accumulate + quantize + row append in ONE device
+            # program: through a TPU tunnel every dispatch can cost a
+            # round trip (degraded sessions block even on enqueue —
+            # CLAUDE.md), so the row-aligned streaming fast path and the
+            # wideband receiver's fused channelize ride this instead of
+            # separate stat/append dispatches
+            if agc_en:
+                ss, mx = stat_c(ss, mx, x)
+            xi = jnp.stack([x.real, x.imag], axis=-1)
+            rows = conv(xi, scale).reshape(lc, -1, 2 * sps)
+            return (jax.lax.dynamic_update_slice(buf, rows, (0, row, 0)),
+                    ss, mx)
+
+        def ingest_p(buf, row, x, scale, ss, mx):  # (C, t, 2) wire pairs
+            if agc_en:
+                ss, mx = stat_p(ss, mx, x)
+            rows = conv(x, scale).reshape(lc, -1, 2 * sps)
+            return (jax.lax.dynamic_update_slice(buf, rows, (0, row, 0)),
+                    ss, mx)
+
         def requant(buf, factor):        # int8 step change: old/new ratio
             q = jnp.round(buf.astype(jnp.float32) * factor[:, None, None])
             return jnp.clip(q, -127, 127).astype(jnp.int8)
@@ -422,6 +445,11 @@ class LockedStreamDemodulator:
                              donate_argnums=(0,))
         self._append_c = jit_s(append_c, (BUF, P(), CHN, CH), BUF,
                                donate_argnums=(0,))
+        self._ingest_c_fn = ingest_c     # raw closure (ingest_kernel)
+        self._ingest_c = jit_s(ingest_c, (BUF, P(), CHN, CH, CH, CH),
+                               (BUF, CH, CH), donate_argnums=(0,))
+        self._ingest_p = jit_s(ingest_p, (BUF, P(), PRS, CH, CH, CH),
+                               (BUF, CH, CH), donate_argnums=(0,))
         self._pairs_c = jit_s(pairs_c, (CHN,), PRS)
         self._slide = jit_s(slide, (BUF,), BUF, donate_argnums=(0,))
         # pipelined mode keeps the in-flight block's window alive for a
@@ -479,6 +507,23 @@ class LockedStreamDemodulator:
         ilv = samples.ndim == 3
         x = self._put(jnp.asarray(samples) if ilv
                       else jnp.asarray(samples, jnp.complex64))
+        # row-aligned fast path: stat accumulate + quantize + append in ONE
+        # fused dispatch (ingest_c/ingest_p) when the chunk drops cleanly
+        # into the current window.  Not taken before AGC priming (the first
+        # feed must adopt the measured step BEFORE quantizing anything) or
+        # with a sub-row carry pending.  Emits exactly what the general
+        # loop would (tests/test_locked_stream.py pins equivalence).
+        n = x.shape[1]
+        if (self._pend is None and n and n % self.sps == 0
+                and n <= self.window - self._count and self._agc_primed):
+            ing = self._ingest_p if ilv else self._ingest_c
+            self._buf, self._stat_ss, self._stat_max = ing(
+                self._buf, self._count // self.sps, x, self._scale,
+                self._stat_ss, self._stat_max)
+            if self._agc:
+                self._stat_cnt += 2 * n
+            self._count += n
+            return self._process() if self._count >= self.window else []
         if self._pend is not None:
             # sub-row carry from the previous feed: unify in the pairs
             # domain (rare — only non-40-aligned feeds reach here)
@@ -525,6 +570,51 @@ class LockedStreamDemodulator:
             tail = x[:, off:] if ilv else self._pairs_c(x[:, off:])
             self._pend = tail.astype(self._wire)
         return out
+
+    # -- external fused ingest ----------------------------------------- #
+    # A host driver that produces the engine's input ON DEVICE (e.g. the
+    # wideband channelizer) can fuse its own preprocessing with the
+    # engine's stat+quantize+append into ONE jitted program instead of
+    # dispatching them separately — on a TPU tunnel where every dispatch
+    # can cost a round trip this is the difference between ~6 and ~4
+    # blocking ops per block (tools/wideband_bench.py --quantum-frames).
+
+    def ingest_kernel(self):
+        """The pure (buf, row, x, scale, ss, mx) -> (buf, ss, mx) closure
+        combining AGC stat accumulation, quantization, and the row append
+        for a (C, t) complex chunk — for composition inside a caller's own
+        jit.  Single-device only: mesh engines shard_map their programs
+        internally and a foreign jit would not."""
+        if self.mesh is not None:
+            raise RuntimeError("fused external ingest is single-device "
+                               "(mesh engines shard_map internally)")
+        return self._ingest_c_fn
+
+    def ingest_state(self):
+        """(buf, row, scale, ss, mx) operands for ingest_kernel, matching
+        the engine's current stream position."""
+        return (self._buf, self._count // self.sps, self._scale,
+                self._stat_ss, self._stat_max)
+
+    def external_ingest_ready(self, n: int) -> bool:
+        """True when an ingest_kernel run of n samples/channel can be
+        committed as-is: no sub-row carry pending, row-aligned, fits the
+        current window, and AGC already primed (the first feed must adopt
+        the measured quantization step BEFORE anything is quantized —
+        route it through feed())."""
+        return (self._pend is None and n > 0 and n % self.sps == 0
+                and n <= self.window - self._count and self._agc_primed)
+
+    def commit_external_ingest(self, buf, ss, mx, n: int):
+        """Adopt ingest_kernel outputs and advance the stream; returns the
+        decoded-frame tuples for any window the commit completed.  Caller
+        must have checked external_ingest_ready(n) BEFORE running the
+        kernel (the kernel donates the engine buffer)."""
+        self._buf, self._stat_ss, self._stat_max = buf, ss, mx
+        if self._agc:
+            self._stat_cnt += 2 * n
+        self._count += n
+        return self._process() if self._count >= self.window else []
 
     def flush(self):
         """Process the buffered tail (zero-padded); frames whose payload

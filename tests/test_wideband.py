@@ -85,6 +85,39 @@ class TestWidebandReceiver:
         fast = run([win] + [q] * ((n - win) // q))
         odd = run([win - 123, 123 + q // 2, q // 2] + [q] * 2)
         assert fast == odd
+
+        # block-advance quantum (quantum_out = block_frames frames/channel,
+        # tools/wideband_bench.py --quantum-frames): ONE ingest + ONE inner
+        # append + ONE AGC accumulate per block instead of block_frames of
+        # each — the dispatch-count lever for tunnel-RTT-bound deployments.
+        # Must emit the identical tuple stream.
+        from opv_tpu.config import CONFIG
+
+        def run_q(**kw):
+            rxb = WidebandReceiver(k, block_frames=3, **kw)
+            out = []
+            out += rxb.feed(x[: rxb.window])
+            off = rxb.window
+            while off + rxb._quantum <= n:
+                out += rxb.feed(x[off:off + rxb._quantum])
+                off += rxb._quantum
+            out += rxb.feed(x[off:])
+            return out + rxb.flush()
+
+        blk = run_q(quantum_out=3 * CONFIG.samples_per_frame)
+        assert blk == fast
+
+        # same equivalence through the int8+AGC engine (the TPU production
+        # dtype): the fused kernel carries the AGC stat accumulation, so
+        # block-quantum (fused ingest, one dispatch) and frame-quantum
+        # (general loop) must still emit identical tuples — incl. pipelined
+        i8_frame = run_q(dtype="int8")
+        i8_blk = run_q(dtype="int8",
+                       quantum_out=3 * CONFIG.samples_per_frame)
+        i8_pipe = run_q(dtype="int8", pipeline=True,
+                        quantum_out=3 * CONFIG.samples_per_frame)
+        assert i8_blk == i8_frame
+        assert i8_pipe == i8_frame
         got = sorted((pos, np.frombuffer(fb, np.uint8))
                      for c, fb, m, q, pos in fast if c == 1 and m <= 16)
         np.testing.assert_array_equal(np.stack([f for _, f in got]),

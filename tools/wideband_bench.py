@@ -44,6 +44,14 @@ def main() -> int:
                     help="inner demod block size in frames: larger blocks "
                          "amortize the per-block result fetch (one tunnel "
                          "RTT) over more air time at the cost of latency")
+    ap.add_argument("--quantum-frames", type=int, default=1,
+                    help="channelizer feed quantum in frames per channel; "
+                         "must divide --block-frames.  Feeding the whole "
+                         "block advance in one quantum collapses the "
+                         "per-block dispatch count (1 ingest + 1 append + "
+                         "1 AGC accumulate instead of block_frames of "
+                         "each) — on a degraded tunnel where every enqueue "
+                         "costs ~an RTT this is the wall-clock lever")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -109,7 +117,10 @@ def main() -> int:
     log(f"wideband synthesized on-device: {n_wb} samples "
         f"({k} channels, {len(active)} active)")
 
+    if args.block_frames % args.quantum_frames:
+        raise SystemExit("--quantum-frames must divide --block-frames")
     rx = WidebandReceiver(k, block_frames=args.block_frames,
+                          quantum_out=args.quantum_frames * spf,
                           pipeline=args.pipeline, timing=True)
     quantum = rx._quantum
     if n_wb < rx.window:
@@ -144,6 +155,7 @@ def main() -> int:
            "host_ms_mean": stats.get("host_ms_mean"),
            "blocks_timed": stats.get("blocks"),
            "block_frames": args.block_frames,
+           "quantum_frames": args.quantum_frames,
            "pipeline": bool(args.pipeline),
            "wideband_msps": round(msps, 2),
            "x_realtime": round(rt, 3),
