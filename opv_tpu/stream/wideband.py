@@ -45,15 +45,21 @@ class WidebandReceiver:
         # fixed processing quantum (wideband samples per channelizer call):
         # channelize jit-compiles per input length, so ragged feeds would
         # otherwise trigger up to K recompilations (20-120 s each through a
-        # TPU tunnel); only flush sees one ragged-tail compile.  The default
-        # quantum is ONE FRAME per channel: because it divides the inner
-        # demodulator's block advance, the demod-level append/slice shapes
-        # repeat after the first block — any other quantum cycles the
-        # chunk-split shapes through up to advance/gcd distinct values, each
-        # a fresh jit compile (measured 2.2 s/chunk through the tunnel vs
-        # ~50 ms warm)
+        # TPU tunnel); only flush sees one ragged-tail compile.  The quantum
+        # must DIVIDE the inner demodulator's block advance so the
+        # demod-level append/slice shapes repeat after the first block —
+        # any other quantum cycles the chunk-split shapes through up to
+        # advance/gcd distinct values, each a fresh jit compile (measured
+        # 2.2 s/chunk through the tunnel vs ~50 ms warm).  The DEFAULT is
+        # the whole block advance: emission latency is identical (the
+        # engine only emits when a block completes), and one quantum per
+        # block means ONE fused ingest dispatch per block instead of
+        # block_frames of them — measured 26.6 -> 523.7 MS/s at K=64
+        # through a degraded tunnel where every dispatch blocked ~50 ms
+        # (WIDEBAND_r04.json; a smaller quantum only reduces the wideband
+        # buffer footprint, k * (quantum + taps) complex64).
         if quantum_out is None:
-            quantum_out = CONFIG.samples_per_frame
+            quantum_out = block_frames * CONFIG.samples_per_frame
         self._quantum = k * quantum_out
         self.window = self._hist + self._quantum
         self._jnp = jnp

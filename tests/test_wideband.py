@@ -104,18 +104,20 @@ class TestWidebandReceiver:
             out += rxb.feed(x[off:])
             return out + rxb.flush()
 
-        blk = run_q(quantum_out=3 * CONFIG.samples_per_frame)
-        assert blk == fast
+        # frame-sized quanta (the pre-round-4 default) must match the
+        # block-advance default exactly: 3x the ingest dispatches, same
+        # tuple stream
+        frm = run_q(quantum_out=CONFIG.samples_per_frame)
+        assert frm == fast
 
         # same equivalence through the int8+AGC engine (the TPU production
         # dtype): the fused kernel carries the AGC stat accumulation, so
         # block-quantum (fused ingest, one dispatch) and frame-quantum
         # (general loop) must still emit identical tuples — incl. pipelined
-        i8_frame = run_q(dtype="int8")
-        i8_blk = run_q(dtype="int8",
-                       quantum_out=3 * CONFIG.samples_per_frame)
-        i8_pipe = run_q(dtype="int8", pipeline=True,
-                        quantum_out=3 * CONFIG.samples_per_frame)
+        i8_frame = run_q(dtype="int8",
+                         quantum_out=CONFIG.samples_per_frame)
+        i8_blk = run_q(dtype="int8")
+        i8_pipe = run_q(dtype="int8", pipeline=True)
         assert i8_blk == i8_frame
         assert i8_pipe == i8_frame
         got = sorted((pos, np.frombuffer(fb, np.uint8))

@@ -44,14 +44,15 @@ def main() -> int:
                     help="inner demod block size in frames: larger blocks "
                          "amortize the per-block result fetch (one tunnel "
                          "RTT) over more air time at the cost of latency")
-    ap.add_argument("--quantum-frames", type=int, default=1,
+    ap.add_argument("--quantum-frames", type=int, default=0,
                     help="channelizer feed quantum in frames per channel; "
-                         "must divide --block-frames.  Feeding the whole "
-                         "block advance in one quantum collapses the "
-                         "per-block dispatch count (1 ingest + 1 append + "
-                         "1 AGC accumulate instead of block_frames of "
-                         "each) — on a degraded tunnel where every enqueue "
-                         "costs ~an RTT this is the wall-clock lever")
+                         "must divide --block-frames; 0 = the block "
+                         "advance (the production default).  Feeding the "
+                         "whole block advance in one quantum collapses "
+                         "the per-block dispatch count to ONE fused "
+                         "channelize+stat+append program — on a degraded "
+                         "tunnel where every enqueue costs ~an RTT this "
+                         "is the wall-clock lever (26.6 -> 523.7 MS/s)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -83,7 +84,14 @@ def main() -> int:
     from opv_tpu.stream.wideband import WidebandReceiver
     from opv_tpu.tx.modulator import mod_reset, modulate_bits_fast
 
-    k, f, act = args.k, args.frames, min(args.active, args.k)
+    if args.quantum_frames == 0:
+        args.quantum_frames = args.block_frames
+    k, act = args.k, min(args.active, args.k)
+    # the synthesized cycle must be a quantum multiple AND longer than the
+    # channelizer window (history + one quantum), so big --quantum-frames
+    # runs need a longer cycle than the --frames default
+    f = max(args.frames, 2 * args.quantum_frames)
+    f -= f % args.quantum_frames
     spf = CONFIG.samples_per_frame
     n_ch = f * spf                       # channel-rate samples per cycle
     n_wb = n_ch * k                      # wideband samples per cycle
