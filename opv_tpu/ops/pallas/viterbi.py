@@ -85,9 +85,16 @@ PACK = os.environ.get("OPV_VITERBI_PACK", "vpu")
 # fused into one 4-way compare (_viterbi_kernel_r4) — half the serial chain
 # at slightly more vector work per iteration.  v5e amortized, 1280 frames,
 # t256 u2, same session: radix-4 0.872 ms vs radix-2 1.294 ms (-33%).
-# Hardware caveat: radix-4 u4 crashes the remote Mosaic compiler
-# ("Check failed: limits[i] <= dim(i)", reproducible, both soft dtypes);
-# u1/u2 validated bit-exact repeatedly.  u2 is the default and fastest.
+# Hardware caveat: radix-4 u4 and radix-2 u8 crash the remote Mosaic
+# compiler ("Check failed: limits[i] <= dim(i)" / tpu_compile_helper
+# dying on a signal) — and the crash is GRID-SIZE-DEPENDENT: a 2026-08-20
+# session compiled both clean at 300 frames (2 grid tiles, bit-exact on
+# the tie-stress matrix) yet still crashed at 1280 frames (5 tiles), 2/2
+# contained attempts each.  So they stay quarantined; the hw_validate
+# canaries (contained subprocesses, BOTH geometries) are the mechanism
+# that notices a real toolchain fix — a single-geometry probe reports a
+# false FIXED.  u1/u2 validated bit-exact repeatedly.  u2 is the default
+# and fastest.
 RADIX = int(os.environ.get("OPV_VITERBI_RADIX", "4"))
 
 def _default_tile(bsz: int) -> int:
@@ -323,8 +330,8 @@ def _viterbi_kernel_r4(exp_ref, soft_ref, bits_ref, metric_ref, dec_ref,
         for k in range(unroll):
             metrics, w = acs2(metrics, sg_u[k], guarded)
             # single-row stores; the expensive block access (the soft
-            # load) stays one (U, 4, B).  NOTE u4 crashes the remote
-            # Mosaic compiler regardless of store shape (see RADIX note)
+            # load) stays one (U, 4, B).  NOTE u4 needs the 2026-08-20+
+            # Mosaic toolchain (earlier ones crash — see RADIX note)
             dec_ref[pl.ds(t + k, 1)] = w[None]
         return metrics
 

@@ -41,6 +41,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _matrix_input(jnp):
+    """The shared validation input: 250 random frames + 50 low-entropy
+    tie-stress frames (metric ties exercise the composite argmin key —
+    Mosaic's tie-breaking differs from XLA's, CLAUDE.md)."""
+    import jax
+    key = jax.random.PRNGKey(0)
+    rnd = jax.random.randint(key, (250, 2144), 0, 8, dtype=jnp.int32)
+    ties = jnp.concatenate([
+        jax.random.randint(key, (20, 2144), 0, 2, dtype=jnp.int32),
+        jnp.zeros((15, 2144), jnp.int32),
+        jnp.full((15, 2144), 7, jnp.int32)])
+    return jnp.concatenate([rnd, ties])
+
+
 def run_canary(name: str) -> int:
     """--canary rRuUPACK: attempt ONE compile+run of a quarantined kernel
     combo against the oracle, in THIS process (the caller contains us in a
@@ -55,13 +69,22 @@ def run_canary(name: str) -> int:
 
     m = re.fullmatch(r"r(\d)u(\d)(vpu|mxu)", name)
     r, u, pk = int(m.group(1)), int(m.group(2)), m.group(3)
-    key = jax.random.PRNGKey(7)
-    soft = jax.random.randint(key, (64, 2144), 0, 8, dtype=jnp.int32)
-    b_ref, m_ref = jax.jit(viterbi_decode_batch)(soft)
-    b, mt = jax.jit(lambda d: viterbi_pallas(d, radix=r, unroll=u,
-                                             pack=pk))(soft)
-    nb = int(jnp.sum(b_ref.astype(jnp.int32) != b))
-    nm = int(jnp.sum(m_ref != mt))
+    # Two geometries: the 300-frame matrix input (2 grid tiles) AND a
+    # 1280-frame production-scale batch (5 tiles).  The crash is
+    # GRID-SIZE-DEPENDENT: the 2026-08-20 session compiled all three
+    # quarantined combos clean at 300 frames but still died with "Check
+    # failed: limits[i] <= dim(i)" at 1280 — a 300-frame-only canary
+    # would have reported FIXED for a compiler that still crashes at
+    # production batch sizes.  FIXED requires BOTH bit-exact.
+    nb = nm = 0
+    for soft in (_matrix_input(jnp),
+                 jax.random.randint(jax.random.PRNGKey(1), (1280, 2144),
+                                    0, 8, dtype=jnp.int32)):
+        b_ref, m_ref = jax.jit(viterbi_decode_batch)(soft)
+        b, mt = jax.jit(lambda d: viterbi_pallas(d, radix=r, unroll=u,
+                                                 pack=pk))(soft)
+        nb += int(jnp.sum(b_ref.astype(jnp.int32) != b))
+        nm += int(jnp.sum(m_ref != mt))
     print(json.dumps({"canary": name, "bits": nb, "metrics": nm}))
     return 0 if nb == 0 and nm == 0 else 1
 
@@ -97,13 +120,7 @@ def main() -> int:
     res = {"platform": platform, "viterbi": {}, "engine": {}}
 
     # --- 1. kernel matrix vs oracle -------------------------------------
-    key = jax.random.PRNGKey(0)
-    rnd = jax.random.randint(key, (250, 2144), 0, 8, dtype=jnp.int32)
-    ties = jnp.concatenate([                      # low-entropy: metric ties
-        jax.random.randint(key, (20, 2144), 0, 2, dtype=jnp.int32),
-        jnp.zeros((15, 2144), jnp.int32),
-        jnp.full((15, 2144), 7, jnp.int32)])
-    soft = jnp.concatenate([rnd, ties])           # 300 frames, 2 grid tiles
+    soft = _matrix_input(jnp)                     # 300 frames, 2 grid tiles
     b_ref, m_ref = jax.jit(viterbi_decode_batch)(soft)
     jax.block_until_ready(b_ref)
     log("oracle decoded")
