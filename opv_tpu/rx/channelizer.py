@@ -39,31 +39,42 @@ def prototype_filter(k: int, taps_per_branch: int = 12, beta: float = 9.0) -> np
     return (h / h.sum()).astype(np.float64)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "taps_per_branch"))
-def channelize(x: jnp.ndarray, k: int, taps_per_branch: int = 12) -> jnp.ndarray:
-    """(N,) complex wideband at K*fs_ch -> (K, M) channel basebands at fs_ch.
+@functools.lru_cache(maxsize=None)
+def dft_kernel(k: int) -> np.ndarray:
+    """The channelizer's DFT-across-legs matmul kernel, GROUPED BY OUTPUT
+    CHANNEL: shape (2K, K, 2) where [:, c, 0]/[:, c, 1] are the real/imag
+    kernel columns of output channel c.
 
-    Output channel c carries the band centered at +c * fs_ch (c > K/2 wraps
-    to negative frequencies) with a constant group delay of
-    (K*taps_per_branch-1)/K output samples.
+    Grouping by channel makes the kernel the natural SHARDING OPERAND for a
+    mesh channelizer: device d holding channels [d*lc, (d+1)*lc) takes
+    kernel shard [:, d*lc:(d+1)*lc, :] (PartitionSpec(None, 'ch', None))
+    and computes exactly its local channel rows — no collectives, no
+    axis_index bookkeeping (stream/wideband.py mesh mode).  Each output
+    element is the same (2K,)-dot product as the ungrouped kernel's, so
+    column grouping does not change the numerics.
+    """
+    # W[c, r] = e^{+2j pi c (K-1-r) / K}  across polyphase legs r
+    w = np.exp(2j * np.pi * np.arange(k)[:, None]
+               * (k - 1 - np.arange(k))[None, :] / k)   # (c, r)
+    wr, wi = w.real.T, w.imag.T                          # (r, c)
+    # rows interleave the re/im legs of the polyphase accumulator u:
+    # row 2r   (re leg of u_r) contributes  wr to re_c and  wi to im_c
+    # row 2r+1 (im leg of u_r) contributes -wi to re_c and  wr to im_c
+    kern = np.stack([np.stack([wr, wi], axis=-1),        # (r, c, 2)
+                     np.stack([-wi, wr], axis=-1)],
+                    axis=1)                               # (r, 2, c, 2)
+    return kern.reshape(2 * k, k, 2)
 
-    Formulated as the POLYPHASE decomposition mapped to TPU primitives:
-    the stride-K modulated filterbank splits (t = pK + q) into
 
-        y_c[m] = sum_r W[c,r] * u[m,r],
+def polyphase_legs(x: jnp.ndarray, k: int, taps_per_branch: int = 12):
+    """(N,) complex wideband -> (M, 2K) filtered polyphase legs
+    (re/im interleaved per leg), the left operand of the DFT matmul.
+
         u[m,r] = sum_p g[p,r] * X[m+p, r],       X[j,r] = x[jK + r]
 
-    i.e. a free contiguous reshape into polyphase rows X, a taps_per_branch-
+    A free contiguous reshape into polyphase rows X and a taps_per_branch-
     term accumulation of SHIFTED X slices weighted per column (one fused
-    elementwise pass; no gathers, no strided conv), and one (M, K) x (K, K)
-    DFT-matrix matmul on the MXU (complex via a real (M, 2K) x (2K, 2K)
-    kernel, as rx/locked.py's soft stage).  The previous formulation — a
-    stride-K `conv_general_dilated` with a K*taps-long kernel — lowered
-    ~200x off the HBM roofline on this TPU (22.7 ms/frame-quantum at K=64
-    vs ~0.8 ms here); that conv path survives only in git history.
-    Numerically this reorders the same MACs (ulp-level differences; frame
-    decodes and the channel-power tests are unaffected).
-    """
+    elementwise pass; no gathers, no strided conv)."""
     h = prototype_filter(k, taps_per_branch)
     taps = taps_per_branch
     n = x.shape[0]
@@ -79,16 +90,50 @@ def channelize(x: jnp.ndarray, k: int, taps_per_branch: int = 12) -> jnp.ndarray
     acc = jnp.zeros((m, k, 2), real_dt)
     for p in range(taps):                # taps is small & static: unrolled,
         acc = acc + xf[p: p + m] * gj[p]  # XLA fuses into one pass
-    # DFT across polyphase legs: W[c, r] = e^{+2j pi c (K-1-r) / K}, as one
-    # real matmul (M, 2K) x (2K, 2K) with interleaved re/im kernel rows
-    w = np.exp(2j * np.pi * np.arange(k)[:, None]
-               * (k - 1 - np.arange(k))[None, :] / k)   # (c, r)
-    wr, wi = w.real.T, w.imag.T                          # (r, c)
-    kern = np.stack([np.concatenate([wr, wi], axis=1),   # re leg of u
-                     np.concatenate([-wi, wr], axis=1)],  # im leg of u
-                    axis=1).reshape(2 * k, 2 * k)
-    y = acc.reshape(m, 2 * k) @ jnp.asarray(kern, real_dt)   # (M, 2K)
-    return (y[:, :k] + 1j * y[:, k:]).astype(x.dtype).T
+    return acc.reshape(m, 2 * k)
+
+
+def channelize_cols(x: jnp.ndarray, kern: jnp.ndarray, k: int,
+                    taps_per_branch: int = 12) -> jnp.ndarray:
+    """Channelize against an explicit (2K, C, 2) dft_kernel slice: returns
+    the (C, M) basebands of the C channels whose kernel columns were
+    passed.  With the full dft_kernel(k) this IS channelize(); with a
+    'ch'-sharded kernel inside a shard_map body it computes each device's
+    local channels from the (replicated) wideband stream — the mesh
+    wideband receiver's fused-ingest formulation (stream/wideband.py)."""
+    legs = polyphase_legs(x, k, taps_per_branch)          # (M, 2K)
+    kf = kern.astype(legs.dtype)
+    c = kf.shape[1]
+    y = (legs @ kf.reshape(2 * k, 2 * c)).reshape(-1, c, 2)
+    return (y[..., 0] + 1j * y[..., 1]).astype(x.dtype).T
+
+
+@functools.partial(jax.jit, static_argnames=("k", "taps_per_branch"))
+def channelize(x: jnp.ndarray, k: int, taps_per_branch: int = 12) -> jnp.ndarray:
+    """(N,) complex wideband at K*fs_ch -> (K, M) channel basebands at fs_ch.
+
+    Output channel c carries the band centered at +c * fs_ch (c > K/2 wraps
+    to negative frequencies) with a constant group delay of
+    (K*taps_per_branch-1)/K output samples.
+
+    Formulated as the POLYPHASE decomposition mapped to TPU primitives:
+    the stride-K modulated filterbank splits (t = pK + q) into
+
+        y_c[m] = sum_r W[c,r] * u[m,r]
+
+    with u the filtered polyphase legs (polyphase_legs) and W the DFT
+    matrix (dft_kernel) — one (M, 2K) x (2K, 2K) real matmul on the MXU
+    (complex via interleaved re/im kernel rows, as rx/locked.py's soft
+    stage).  The previous formulation — a stride-K `conv_general_dilated`
+    with a K*taps-long kernel — lowered ~200x off the HBM roofline on this
+    TPU (22.7 ms/frame-quantum at K=64 vs ~0.8 ms here); that conv path
+    survives only in git history.  Numerically this reorders the same MACs
+    (ulp-level differences; frame decodes and the channel-power tests are
+    unaffected).
+    """
+    real_dt = x.real.dtype
+    kern = jnp.asarray(dft_kernel(k), real_dt)
+    return channelize_cols(x, kern, k, taps_per_branch)
 
 
 def synthesize_wideband(channel_signals: dict, k: int, n: int) -> np.ndarray:

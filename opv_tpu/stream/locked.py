@@ -583,12 +583,27 @@ class LockedStreamDemodulator:
         """The pure (buf, row, x, scale, ss, mx) -> (buf, ss, mx) closure
         combining AGC stat accumulation, quantization, and the row append
         for a (C, t) complex chunk — for composition inside a caller's own
-        jit.  Single-device only: mesh engines shard_map their programs
-        internally and a foreign jit would not."""
-        if self.mesh is not None:
-            raise RuntimeError("fused external ingest is single-device "
-                               "(mesh engines shard_map internally)")
+        jit.
+
+        Mesh engines: the closure operates on PER-SHARD LOCAL shapes
+        (C/nch channels), exactly like the engine's own shard_mapped
+        programs — compose it inside your own jax.shard_map over the
+        engine's mesh with the specs from ingest_specs(), producing the
+        x chunk's local channels in the body (the wideband receiver's
+        'ch'-sharded DFT-kernel channelizer does this,
+        stream/wideband.py)."""
         return self._ingest_c_fn
+
+    def ingest_specs(self):
+        """(in_specs, out_specs) PartitionSpec tuples for shard_mapping
+        ingest_kernel over the engine's mesh: buffer sharded on 'ch',
+        per-channel scale/stat vectors on 'ch', the row index replicated.
+        The x chunk spec is for a (C, t) complex chunk sharded on 'ch' —
+        callers synthesizing x INSIDE their shard_map body (fused
+        preprocessing) simply drop that entry."""
+        from jax.sharding import PartitionSpec as P
+        BUF, CH = P("ch", None, None), P("ch")
+        return (BUF, P(), P("ch", None), CH, CH, CH), (BUF, CH, CH)
 
     def ingest_state(self):
         """(buf, row, scale, ss, mx) operands for ingest_kernel, matching

@@ -35,7 +35,22 @@ class WidebandReceiver:
     def __init__(self, k: int, block_frames: int = 4,
                  taps_per_branch: int = 12, engine: str = "locked",
                  quantum_out: int | None = None, pipeline: bool = False,
-                 dtype: str = "auto", timing: bool = False):
+                 dtype: str = "auto", timing: bool = False, mesh=None):
+        """mesh: a jax.sharding.Mesh with a 'ch' axis — the MULTI-CHIP
+        wideband deployment: the K-channel bank's locked engine shard_maps
+        over 'ch' (stream/locked.py mesh mode) and the CHANNELIZER itself
+        runs inside the same shard_mapped program — each device filters the
+        (replicated) wideband stream's polyphase legs and applies only ITS
+        channels' DFT-kernel columns (rx/channelizer.py::channelize_cols),
+        feeding the engine's local stat+quantize+append directly.  The
+        steady path stays ONE fused device program per quantum, now spanning
+        N chips; no collectives touch the sample path (the psum'd decode
+        count is the only cross-device op).  The reference's answer to K
+        channels is K demod processes on K CPU cores behind a host splitter
+        (scripts/opv-pluto.sh:290-313, src/opv-modem.cpp:391); this is that
+        deployment scaled onto a device mesh, one code path with the
+        single-chip receiver (emitted tuples are identical —
+        tests/test_wideband.py::TestMeshWideband pins it)."""
         import jax
         import jax.numpy as jnp
 
@@ -65,8 +80,19 @@ class WidebandReceiver:
         self._jnp = jnp
 
         # jitted: eager-op dispatch is unreliable on the axon tunnel
-        # (UNIMPLEMENTED / hangs) while jit executables work
-        self._zeros = jax.jit(lambda: jnp.zeros(self.window, jnp.complex64))
+        # (UNIMPLEMENTED / hangs) while jit executables work.  Under a mesh
+        # the wideband buffer is born REPLICATED across the mesh devices:
+        # every device needs the full stream (each output channel mixes all
+        # K polyphase legs), and replication is what lets the fused
+        # shard_mapped ingest consume it with an unsharded in_spec.
+        zeros = lambda: jnp.zeros(self.window, jnp.complex64)  # noqa: E731
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            self._zeros = jax.jit(zeros,
+                                  out_shardings=NamedSharding(mesh, P()))
+        else:
+            self._zeros = jax.jit(zeros)
         self._buf = self._zeros()
         self._count = 0                              # valid samples in _buf
 
@@ -74,10 +100,13 @@ class WidebandReceiver:
             self.demod = LockedStreamDemodulator(channels=k,
                                                  block_frames=block_frames,
                                                  pipeline=pipeline,
-                                                 dtype=dtype, timing=timing)
+                                                 dtype=dtype, timing=timing,
+                                                 mesh=mesh)
         elif engine == "fast":
             if pipeline:
                 raise ValueError("pipeline=True requires engine='locked'")
+            if mesh is not None:
+                raise ValueError("mesh= requires engine='locked'")
             self.demod = MultiChannelDemodulator(channels=k,
                                                  block_frames=block_frames)
         else:
@@ -119,7 +148,7 @@ class WidebandReceiver:
         # tunnels where every dispatch is a round trip (degraded-session
         # lore, CLAUDE.md); a healthy tunnel sees one fewer enqueue.
         self._fused = None
-        if engine == "locked" and self.demod.mesh is None:
+        if engine == "locked" and mesh is None:
             kern = self.demod.ingest_kernel()
 
             def ingest_fused(wbuf, x, ebuf, row, scale, ss, mx):
@@ -129,6 +158,44 @@ class WidebandReceiver:
                 return slide(full), ebuf, ss, mx
 
             self._fused = jax.jit(ingest_fused, donate_argnums=(0, 2))
+        elif engine == "locked":
+            # MULTI-CHIP fused ingest: the same steady quantum as ONE
+            # shard_mapped program over the engine's mesh.  Each device
+            # holds the replicated wideband window, filters the polyphase
+            # legs, applies only ITS channels' DFT-kernel columns (the
+            # (2K, K, 2) dft_kernel sharded P(None, 'ch', None) — see
+            # rx/channelizer.py::dft_kernel), and runs the engine's LOCAL
+            # stat+quantize+append on its shard of the window buffer.  The
+            # polyphase filtering (K*taps MACs/sample) is recomputed per
+            # device — trivial next to shipping (K, M) channel data across
+            # the mesh, and it keeps the sample path collective-free.
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            from opv_tpu.rx.channelizer import channelize_cols, dft_kernel
+
+            kern_ing = self.demod.ingest_kernel()      # local-shape closure
+            (BUF, _ROW, _CHN, CH, _, _), _ = self.demod.ingest_specs()
+            self._kern_sh = jax.device_put(
+                jnp.asarray(dft_kernel(k), jnp.float32),
+                NamedSharding(mesh, P(None, "ch", None)))
+
+            def ingest_fused_local(wbuf, x, kern_l, ebuf, row, scale,
+                                   ss, mx):
+                full = jax.lax.dynamic_update_slice(wbuf, x, (self._hist,))
+                ch_l = channelize_cols(full, kern_l, kk, tt)
+                ebuf, ss, mx = kern_ing(ebuf, row, ch_l, scale, ss, mx)
+                return slide(full), ebuf, ss, mx
+
+            fused = jax.jit(
+                jax.shard_map(ingest_fused_local, mesh=mesh,
+                              in_specs=(P(), P(), P(None, "ch", None),
+                                        BUF, P(), CH, CH, CH),
+                              out_specs=(P(), BUF, CH, CH),
+                              check_vma=False),
+                donate_argnums=(0, 3))
+            self._fused = (lambda wbuf, x, ebuf, row, scale, ss, mx:
+                           fused(wbuf, x, self._kern_sh, ebuf, row, scale,
+                                 ss, mx))
 
     def feed(self, wideband):
         """wideband: (n,) complex at K*fs_ch (numpy or jax array; jax input

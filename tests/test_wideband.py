@@ -158,6 +158,79 @@ class TestWidebandReceiver:
             WidebandReceiver(k, engine="fast").state_tree()
 
 
+class TestMeshWideband:
+    """mesh= drives the SAME wideband receiver multi-chip: the channelizer
+    runs inside the engine's shard_mapped fused ingest ('ch'-sharded DFT
+    kernel columns, rx/channelizer.py::dft_kernel) and the K-channel bank's
+    window buffer lives device-sharded.  The emitted tuple stream must be
+    IDENTICAL to the single-device receiver's — the flagship deployment and
+    the multi-chip engine are one code path (VERDICT r4 item 1; reference
+    analog: one demod process per channel behind a host splitter,
+    scripts/opv-pluto.sh:290-313)."""
+
+    @staticmethod
+    def _capture(k, active, nf=4):
+        sets = {c: build_bert_frame(call, frame_num=np.arange(nf) + 5 * c)
+                for c, call in active.items()}
+        lead = np.zeros(2000 * k, np.complex128)
+        wb = {c: np.concatenate([lead, msk_wideband(f, k)])
+              for c, f in sets.items()}
+        n = max(map(len, wb.values()))
+        return sets, synthesize_wideband(wb, k, n)
+
+    @staticmethod
+    def _run(rx, x):
+        out = rx.feed(x[: rx.window])        # prime to exactly one window
+        off = rx.window
+        q = rx._quantum
+        # a couple of steady quanta (the fused shard_mapped fast path) ...
+        while off + q <= len(x) - 3 * q // 2:
+            out += rx.feed(x[off:off + q])
+            off += q
+        # ... then an odd-sized chunk (the general append/chan/slide loop)
+        out += rx.feed(x[off:])
+        return out + rx.flush()
+
+    def test_mesh_tuple_identical_and_sharded(self):
+        from opv_tpu.parallel.mesh import make_mesh
+
+        k = 8
+        sets, x = self._capture(k, {1: "W5NYV", 4: "TEST", 7: "KE9V"})
+        ref = self._run(WidebandReceiver(k, block_frames=2), x)
+        mesh = make_mesh({"ch": 8})
+        rx = WidebandReceiver(k, block_frames=2, mesh=mesh)
+        got = self._run(rx, x)
+        assert got == ref
+        # every active channel decoded its own frame set bit-exactly
+        for c, expected in sets.items():
+            rows = sorted((p, np.frombuffer(fb, np.uint8))
+                          for cc, fb, m, q, p in got if cc == c and m <= 16)
+            np.testing.assert_array_equal(np.stack([f for _, f in rows]),
+                                          np.asarray(expected))
+        # the engine window buffer is one-channel-per-device sharded and
+        # the wideband buffer replicated (the fused ingest's contract)
+        eng = rx.demod
+        shard_shapes = {tuple(s.data.shape)
+                        for s in eng._buf.addressable_shards}
+        assert shard_shapes == {(1, eng.window // 40, 80)}
+        wb_shapes = {tuple(s.data.shape)
+                     for s in rx._buf.addressable_shards}
+        assert wb_shapes == {(rx.window,)}
+
+    def test_mesh_subdivided_channels(self):
+        """K need not equal the mesh size: 8 channels over a ('ch'=4) mesh
+        puts 2 channels per device (the kernel shard carries 2 DFT
+        columns); tuples still identical to single-device."""
+        from opv_tpu.parallel.mesh import make_mesh
+
+        k = 8
+        _, x = self._capture(k, {2: "W5NYV", 5: "TEST"}, nf=3)
+        ref = self._run(WidebandReceiver(k, block_frames=2), x)
+        rx = WidebandReceiver(k, block_frames=2,
+                              mesh=make_mesh({"ch": 4}))
+        assert self._run(rx, x) == ref
+
+
 class TestWidebandWaterfall:
     def test_noisy_channel_decodes_with_bounded_ber(self):
         """Wideband AWGN at a near-waterfall per-channel Eb/N0: the
