@@ -241,6 +241,26 @@ class LockedStreamDemodulator:
 
             self._put = functools.partial(
                 jax.device_put, device=NamedSharding(mesh, P("ch")))
+            # a mesh spanning PROCESS boundaries (multi-host slice /
+            # jax.distributed): device_put of an identical-on-all-hosts
+            # numpy array to the global sharding works as-is, but fetching
+            # a non-addressable result requires the collective gather —
+            # every process receives the full result pytree, so the host
+            # sync lifecycle stays byte-identical on all hosts
+            # (tests/test_multihost.py::test_two_process_locked_engine)
+            if any(d.process_index != jax.process_index()
+                   for d in mesh.devices.flat):
+                from jax.experimental import multihost_utils
+                self._get = functools.partial(
+                    multihost_utils.process_allgather, tiled=True)
+                # feeds must reach device_put as HOST arrays (a
+                # single-device jax intermediate is not resharddable to a
+                # non-addressable sharding); every process feeds the
+                # identical full (C, n) chunk
+                put_g = self._put
+                self._put = lambda a: put_g(np.asarray(a))
+            else:
+                self._get = jax.device_get
 
             def globalize(out):          # per-shard counts -> global
                 out = dict(out)
@@ -251,6 +271,7 @@ class LockedStreamDemodulator:
                 return jax.jit(fn, **kw)
 
             self._put = jnp.asarray
+            self._get = jax.device_get
             globalize = lambda out: out  # noqa: E731
 
         # LOCAL channel count: shard_map bodies see per-device shapes, so
@@ -686,7 +707,7 @@ class LockedStreamDemodulator:
                                   put("foff", self.freq_offset),
                                   self._scale)
             # ONE batched fetch (three serial np.asarray = three tunnel RTT)
-            delta, frac_new, fold = self._jax.device_get(out_rt)
+            delta, frac_new, fold = self._get(out_rt)
             delta = np.where(retune, delta, 0).astype(np.int32)
             # energy gate: the retime window is anchored one frame AHEAD
             # of p0, so at a burst tail (or in a deep fade) it folds
@@ -918,7 +939,7 @@ class LockedStreamDemodulator:
             return
         # ONE batched fetch for both stat vectors (two serial np.asarray
         # calls are two tunnel round trips)
-        ss, mx = self._jax.device_get((self._stat_ss, self._stat_max))
+        ss, mx = self._get((self._stat_ss, self._stat_max))
         rms = np.sqrt(ss / self._stat_cnt)
         desired = np.minimum(mx, self._AGC_SIGMA * rms) * (1.0 / 127.0)
         desired = np.maximum(desired, 1e-6).astype(np.float32)  # silence
@@ -1030,7 +1051,7 @@ class LockedStreamDemodulator:
         # arrays cross the link concurrently instead of as seven serial
         # round trips (the axon tunnel's RTT makes serial fetches the
         # streaming driver's dominant host cost)
-        out = self._jax.device_get(out)
+        out = self._get(out)
         if t_fetch is not None:
             self._fetch_ms += (time.monotonic() - t_fetch) * 1e3
         burst_only = out.get("burst_only")   # reacquire blocks only
