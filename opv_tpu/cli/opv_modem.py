@@ -129,9 +129,12 @@ def main(argv=None) -> int:
         feed-forward locked-grid engine (stream/locked.py) behind the same
         (frame_bytes, metric, q, idx) result tuples — the production
         serving path (the tracking loop sustains only ~0.5x real time on a
-        commodity CPU core, the locked engine ~80x; MODEM_r02.json).
-        block_frames=1 minimizes serving latency (the window gate is ~2
-        frame times instead of 5); pipeline stays off because the serving
+        commodity CPU core, the locked engine ~80x; MODEM_r03.json).
+        block_frames=1 + eager=True minimize serving latency: eager mode
+        emits a steady frame as soon as its sync+payload+one-symbol slack
+        is buffered (~1 frame time of gate — the reference modem's own
+        chunk-gate latency, opv-modem.cpp:875-961) instead of waiting for
+        the full 2*spf+1040 window; pipeline stays off because the serving
         loop is latency- not throughput-bound and the demod shares the
         process with the modulator."""
         if not args.fast:
@@ -141,7 +144,8 @@ def main(argv=None) -> int:
         class _FastEngine:
             def __init__(self):
                 self._sd = LockedStreamDemodulator(channels=1,
-                                                   block_frames=1)
+                                                   block_frames=1,
+                                                   eager=True)
 
             @staticmethod
             def _adapt(results):

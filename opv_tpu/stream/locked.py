@@ -153,7 +153,8 @@ class LockedStreamDemodulator:
     def __init__(self, channels: int, block_frames: int = 4,
                  dtype: str = "auto", pipeline: bool = False,
                  agc: bool = True, mesh=None,
-                 single_frame_burst: bool = True, timing: bool = False):
+                 single_frame_burst: bool = True, timing: bool = False,
+                 eager: bool = False):
         """dtype: buffer element type for the (C, window/40, 80) window-row
         buffer — "float32", "bfloat16", "int8", or "auto" (int8 on TPU,
         else float32).  bf16 halves buffer HBM and the steady matmul's
@@ -494,6 +495,25 @@ class LockedStreamDemodulator:
         self._blocks = 0                 # resolved blocks (AGC cadence)
         self._agc_primed = not self._agc
 
+        #: eager (low-latency serving) mode: a pure-steady block (all
+        #: channels locked, no flywheel misses, no refresh pending) is
+        #: processed as soon as every OWNED slot's samples are buffered —
+        #: count >= max(p0) + advance + one symbol — instead of waiting for
+        #: window completion.  The buffer tail past count is zeros (slide
+        #: pads, appends fill), and the steady program's outputs for a slot
+        #: depend only on samples < pos + spf + 40 (exactly flush()'s
+        #: valid_limit rejection rule, which is pinned block-exact), so
+        #: eager blocks emit IDENTICAL tuples one window-tail earlier.
+        #: With block_frames=1 this cuts the serving gate from ~2 frame
+        #: times (window = 2*spf + 1040) to ~1 (the reference modem's own
+        #: chunk-gate latency, opv-modem.cpp:875-961) — opv-modem --fast
+        #: runs this mode (VERDICT r4 item 5).  Hunting/flywheel/refresh
+        #: blocks fall back to the full-window gate (a re-hunt needs the
+        #: window's verification slack).
+        self._eager = bool(eager)
+        if eager and pipeline:
+            raise ValueError("eager (low-latency) and pipeline "
+                             "(throughput) modes are mutually exclusive")
         self.pipeline = bool(pipeline)
         self._pending = None            # in-flight block (pipeline mode)
         #: per-block device/host time split (SURVEY.md section 5 tracing
@@ -544,7 +564,9 @@ class LockedStreamDemodulator:
             if self._agc:
                 self._stat_cnt += 2 * n
             self._count += n
-            return self._process() if self._count >= self.window else []
+            if self._count >= self.window:
+                return self._process()
+            return self._eager_poll()
         if self._pend is not None:
             # sub-row carry from the previous feed: unify in the pairs
             # domain (rare — only non-40-aligned feeds reach here)
@@ -590,6 +612,7 @@ class LockedStreamDemodulator:
         if off < n:
             tail = x[:, off:] if ilv else self._pairs_c(x[:, off:])
             self._pend = tail.astype(self._wire)
+        out.extend(self._eager_poll())
         return out
 
     # -- external fused ingest ----------------------------------------- #
@@ -650,7 +673,9 @@ class LockedStreamDemodulator:
         if self._agc:
             self._stat_cnt += 2 * n
         self._count += n
-        return self._process() if self._count >= self.window else []
+        if self._count >= self.window:
+            return self._process()
+        return self._eager_poll()
 
     def flush(self):
         """Process the buffered tail (zero-padded); frames whose payload
@@ -679,15 +704,33 @@ class LockedStreamDemodulator:
 
     # ------------------------------------------------------------------ #
 
-    def _process(self, valid_limit: int | None = None):
+    def _process(self, valid_limit: int | None = None, eager: bool = False):
         if self.pipeline and valid_limit is None:
             return self._process_pipelined()
         out, wrap, p0w, tag = self._run_block(self._buf)
         results = self._resolve_block(out, self._buf, valid_limit, wrap,
-                                      p0w, tag, self._abs_base)
-        if valid_limit is None:
+                                      p0w, tag, self._abs_base,
+                                      own_end=self.advance if eager
+                                      else None)
+        if valid_limit is None or eager:
             self._advance_window()
         return results
+
+    def _eager_poll(self):
+        """Eager mode: process pure-steady blocks as soon as their owned
+        slots' samples are buffered (see __init__ eager docstring).  Called
+        after feeds/commits; returns any frames emitted early."""
+        out = []
+        while (self._eager and self._count < self.window
+               and self._agc_primed and self.locked.size
+               and self.locked.all() and (self.miss == 0).all()
+               and not self.refresh.any()):
+            need = int(self.p0.max()) + self.advance + self.sps
+            need = -(-need // self.sps) * self.sps        # row-aligned
+            if self._count < need:
+                break
+            out.extend(self._process(valid_limit=self._count, eager=True))
+        return out
 
     def _run_block(self, buf):
         """Retime (if flagged) and launch this window's program with the
@@ -832,8 +875,11 @@ class LockedStreamDemodulator:
         return out, wrap, p0_wrapped, tag
 
     def _resolve_block(self, out, buf, valid_limit, wrap, p0_wrapped, tag,
-                       base):
-        """Fetch one block's results and run the host sync lifecycle."""
+                       base, own_end=None):
+        """Fetch one block's results and run the host sync lifecycle.
+        own_end: block-ownership end override (eager partial-window blocks
+        own the normal advance span while valid_limit marks the filled
+        extent)."""
         jnp = self._jnp
         t_res = time.monotonic() if self.timing else None
         self._fetch_ms = 0.0
@@ -841,7 +887,8 @@ class LockedStreamDemodulator:
             self.reacquisitions += 1
         self._want_refresh[:] = False
         prev_locked = self.locked.copy()
-        results = self._emit(out, valid_limit, own_extra=wrap, base=base)
+        results = self._emit(out, valid_limit, own_extra=wrap, base=base,
+                             own_end=own_end)
         self.p0 = np.where(wrap, p0_wrapped, self.p0).astype(np.int32)
 
         # A channel that dropped lock during this block (miss limit exceeded)
@@ -859,7 +906,8 @@ class LockedStreamDemodulator:
                                    self._scale,
                                    self._put_state("frac", self.frac))
             results.extend(self._emit(out2, valid_limit, only=dropped,
-                                      min_pos=self._dropped_at, base=base))
+                                      min_pos=self._dropped_at, base=base,
+                                      own_end=own_end))
         warm = max(4.0, self._FOLD_WARM_FOLDS / self.block_frames)
         with np.errstate(invalid="ignore"):
             warming = ((self._fold_w < warm)
@@ -1030,7 +1078,7 @@ class LockedStreamDemodulator:
         return results
 
     def _emit(self, out, valid_limit, only=None, min_pos=None,
-              own_extra=None, base=None):
+              own_extra=None, base=None, own_end=None):
         """Run the host-side sync lifecycle over one block result.
 
         only: bool (C,) — process just these channels (re-hunt second pass).
@@ -1074,8 +1122,11 @@ class LockedStreamDemodulator:
         # a frame is OWNED by this block only if its sync starts before the
         # slide amount — a hunt can lock deep in the window's overlap tail,
         # and those grid slots reappear (at pos % spf) in the next block:
-        # processing them twice would double-emit and double-count misses
-        own_end = self.advance if valid_limit is None else vlim
+        # processing them twice would double-emit and double-count misses.
+        # (eager blocks pass own_end=advance explicitly: they own the
+        # normal span while vlim marks the partially-filled extent)
+        if own_end is None:
+            own_end = self.advance if valid_limit is None else vlim
         extent = self.spf + CONFIG.samples_per_symbol  # sync..payload end
         results = []
         n_slots = frames.shape[1]

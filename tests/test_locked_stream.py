@@ -304,6 +304,74 @@ class TestPipelined:
         assert out == ref
 
 
+class TestEager:
+    """eager=True (opv-modem --fast serving): a pure-steady block is
+    processed as soon as every owned slot's samples are buffered (count >=
+    max(p0) + advance + one symbol) instead of at window completion — the
+    buffer tail past count is zeros and a steady slot's outputs depend only
+    on samples < pos + spf + 40 (flush()'s proven valid_limit rule), so the
+    tuple stream is IDENTICAL, one window-tail earlier.  Cuts the bf=1
+    serving gate from ~2 frame times to ~1 (VERDICT r4 item 5; reference
+    bar: the modem loop adds <=1 frame over the demod chunk gate,
+    opv-modem.cpp:875-961)."""
+
+    def test_tuple_identical_clean(self):
+        s, frames = _signal(8)
+        x = np.concatenate([np.zeros(123, np.complex64), s])[None]
+        for chunk in (SPF, 70_001):
+            ref = _run(LockedStreamDemodulator(1, block_frames=1), x,
+                       chunk=chunk)
+            eag = _run(LockedStreamDemodulator(1, block_frames=1,
+                                               eager=True), x, chunk=chunk)
+            assert eag == ref and len(ref) == 8
+
+    def test_one_frame_earlier_at_cadence(self):
+        """Feeding frame-sized chunks (the modem loopback cadence), each
+        steady frame must be emitted in the feed carrying the NEXT frame —
+        one full feed earlier than the window-completion gate."""
+        s, _ = _signal(8)
+        x = np.concatenate([np.zeros(123, np.complex64), s])[None]
+
+        def emitted_per_feed(sd):
+            return [len(sd.feed(x[:, off:off + SPF]))
+                    for off in range(0, x.shape[1], SPF)]
+
+        sd_b = LockedStreamDemodulator(1, block_frames=1)
+        sd_e = LockedStreamDemodulator(1, block_frames=1, eager=True)
+        base, eag = emitted_per_feed(sd_b), emitted_per_feed(sd_e)
+        # nothing lost either way (the window-gated driver needs the flush
+        # to drain its final frame; eager already emitted it)
+        assert sum(base) + len(sd_b.flush()) == 8
+        assert sum(eag) + len(sd_e.flush()) == 8
+        # eager's cumulative count leads by one frame from the first
+        # steady block onward
+        cb, ce = np.cumsum(base), np.cumsum(eag)
+        lead = ce - cb
+        first = int(np.argmax(ce > 0))
+        assert (lead[first:] == 1).all(), (base, eag)
+
+    def test_tuple_identical_through_gap_and_reacquire(self):
+        """A noise gap (lock drop -> flywheel -> re-hunt) disengages the
+        eager gate; the full lifecycle must still emit identical tuples."""
+        rng = np.random.default_rng(7)
+        s1, _ = _signal(4)
+        s2, _ = _signal(4, start=50)
+        gap = (rng.standard_normal(7 * SPF)
+               + 1j * rng.standard_normal(7 * SPF)).astype(np.complex64) * 50
+        x = np.concatenate([s1, gap, s2])[None]
+        ref_sd = LockedStreamDemodulator(1, block_frames=1)
+        ref = _run(ref_sd, x, chunk=86_720)
+        eag_sd = LockedStreamDemodulator(1, block_frames=1, eager=True)
+        eag = _run(eag_sd, x, chunk=86_720)
+        assert eag == ref
+        assert eag_sd.reacquisitions >= 1
+
+    def test_eager_pipeline_mutually_exclusive(self):
+        with pytest.raises(ValueError, match="eager"):
+            LockedStreamDemodulator(1, block_frames=1, eager=True,
+                                    pipeline=True)
+
+
 class TestDriftRefresh:
     @pytest.mark.parametrize("dtype", ["float32", "int8"])
     def test_clock_drift_proactive_refresh(self, dtype):
