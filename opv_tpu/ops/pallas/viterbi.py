@@ -87,14 +87,19 @@ PACK = os.environ.get("OPV_VITERBI_PACK", "vpu")
 # t256 u2, same session: radix-4 0.872 ms vs radix-2 1.294 ms (-33%).
 # Hardware caveat: radix-4 u4 and radix-2 u8 crash the remote Mosaic
 # compiler ("Check failed: limits[i] <= dim(i)" / tpu_compile_helper
-# dying on a signal) — and the crash is GRID-SIZE-DEPENDENT: a 2026-08-20
-# session compiled both clean at 300 frames (2 grid tiles, bit-exact on
-# the tie-stress matrix) yet still crashed at 1280 frames (5 tiles), 2/2
-# contained attempts each.  So they stay quarantined; the hw_validate
-# canaries (contained subprocesses, BOTH geometries) are the mechanism
-# that notices a real toolchain fix — a single-geometry probe reports a
-# false FIXED.  u1/u2 validated bit-exact repeatedly.  u2 is the default
-# and fastest.
+# dying on a signal) — and the crash is GRID-SIZE-DEPENDENT AND
+# SESSION-DEPENDENT: a 2026-08-20 session compiled both clean at 300
+# frames (2 grid tiles, bit-exact on the tie-stress matrix) yet still
+# crashed at 1280 frames (5 tiles), 2/2 contained attempts each; the
+# HWVALIDATE_r04 artifact's "FIXED-reenable-candidate" came from a
+# different session where even the 1280-frame canary happened to pass —
+# the round-5 re-run (HWVALIDATE_r05.json, canary_protocol) crashed all
+# three combos 2/2 again, settling the contradiction: the crash is alive,
+# r04's FIXED was a session fluke.  So they stay quarantined; the
+# hw_validate canaries (contained subprocesses, BOTH geometries, now 2/2
+# clean runs + a second session required before FIXED) are the mechanism
+# that notices a real toolchain fix.  u1/u2 validated bit-exact
+# repeatedly.  u2 is the default and fastest.
 RADIX = int(os.environ.get("OPV_VITERBI_RADIX", "4"))
 
 def _default_tile(bsz: int) -> int:
