@@ -374,9 +374,9 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
         soft_acq = dense_soft(samples[:, :acq_len], foff)
         raw, norm = dense_sync(soft_acq)
         p0_hunt, found, _, _ = hunt_grid(raw, norm)
-        return jnp.where(found, p0_hunt, acquire_grid(raw))
+        return jnp.where(found, p0_hunt, acquire_grid(raw)), found
 
-    p0 = acquire(freq_offset)
+    p0, found = acquire(freq_offset)
     if refine:
         # correct the grid estimator's pinned +1430 Hz-class bias with the
         # feed-forward AFC discriminator (refine_cfo_locked; twice — its
@@ -387,7 +387,7 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
         # residual BER).  One extra 2-frame dense pass per batch call.
         freq_offset = refine_cfo_locked(samples, p0, freq_offset)
         freq_offset = refine_cfo_locked(samples, p0, freq_offset)
-        p0 = acquire(freq_offset)
+        p0, found = acquire(freq_offset)
         freq_offset = refine_cfo_locked(samples, p0, freq_offset)
     # multi-frame-averaged sub-sample timing: one dense pass over up to 32
     # frame intervals, folded by static reshape (refine_timing_from_raw —
@@ -400,6 +400,24 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
                      + (_SB + 2) * _SPS)
     soft_r = dense_soft(samples[:, :refine_len], freq_offset)
     raw_r, _ = dense_sync(soft_r)
+    # deep-fold ACQUISITION fallback: where the 2-frame hunt verified no
+    # sync (5 dB-class captures — single-window thresholds fail while the
+    # reference's serial tracker still acquires, BASELINE.md AWGN row),
+    # take the grid phase from the argmax of the WHOLE refine fold rather
+    # than the first interval's single-shot argmax: the same sqrt(F)
+    # noise averaging the timing refinement exploits, applied to the
+    # acquisition itself.  Measured at 5 dB (200-frame captures, BER_r05
+    # seeds): the single-shot fallback mis-gridded 3/5 captures (BER ~0.97
+    # — total misalignment, vs ~0.35 aligned); the folded fallback
+    # acquires all 5 at BER 0.348-0.363, below the reference's 0.391.
+    # Verified hunts are untouched, so >=7 dB behavior (incl. the pinned
+    # reference quirks) is identical.
+    spf = _FS * _SPS
+    fcount = raw_r.shape[1] // spf
+    if fcount >= 2:
+        fold_full = raw_r[:, : fcount * spf].reshape(c, fcount, spf).sum(1)
+        p0_fold = jnp.argmax(fold_full, axis=-1).astype(jnp.int32)
+        p0 = jnp.where(found, p0, p0_fold)
     p0, frac = refine_timing_from_raw(raw_r, p0)
     return _locked_body(samples, p0, freq_offset, n_frames, frac=frac)
 

@@ -66,7 +66,18 @@ def main() -> int:
     ap.add_argument("--ebn0", type=float, nargs="+",
                     default=[5.0, 6.0, 7.0, 8.0, 10.0])
     ap.add_argument("--frames", type=int, default=200)
-    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="single-seed mode (back-compat); default is the "
+                         "--seeds multi-capture aggregate")
+    ap.add_argument("--seeds", type=int, nargs="+",
+                    default=[42, 43, 44, 45, 46],
+                    help="one independent capture per seed per Eb/N0 "
+                         "point; artifact rows aggregate across them "
+                         "(mean BER/FER, summed counters) with per-seed "
+                         "spread recorded — a single 200-frame capture's "
+                         "BER at the waterfall swings ~20% between noise "
+                         "realizations, enough to flip a close "
+                         "head-to-head either way")
     ap.add_argument("--lead", type=int, default=2000,
                     help="noise-only samples prepended to the capture "
                          "(both decoders see them).  A signal starting at "
@@ -101,10 +112,16 @@ def main() -> int:
     iq = np.concatenate([np.asarray(iq), tx_flush_zeros()])
     s = iq[:, 0].astype(np.float64) + 1j * iq[:, 1].astype(np.float64)
     sig_pow = float(np.mean(np.abs(s[: nf * CONFIG.samples_per_frame]) ** 2))
-    rng = np.random.default_rng(args.seed)
+    seeds = [args.seed] if args.seed is not None else list(args.seeds)
 
     rows = []
     for db in args.ebn0:
+      per_seed = []
+      for seed in seeds:
+        # per-(point, seed) stream: captures are independent of which
+        # other points run (the old shared-rng sequence made the 7 dB
+        # capture depend on whether 5/6 dB preceded it)
+        rng = np.random.default_rng([seed, int(round(db * 10))])
         npow = sig_pow / (10 ** (db / 10) / CONFIG.samples_per_symbol)
         noisy = s + (rng.standard_normal(len(s))
                      + 1j * rng.standard_normal(len(s))) * np.sqrt(npow / 2)
@@ -214,15 +231,40 @@ def main() -> int:
                             "timing_refreshes": sd.refreshes,
                             "wall_s": round(time.time() - t0, 2)}
 
-        rows.append(row)
-        log(f"Eb/N0 {db:4.1f} dB: ref BER {row['reference']['ber']:.3e} "
-            f"| tracking {row['tracking']['ber']:.3e} "
-            f"| locked {row['locked']['ber']:.3e} "
-            f"| int8 {row['locked_int8_agc']['ber']:.3e} "
-            f"| stream_bf4 {row['locked_streaming_bf4']['ber']:.3e} "
-            f"| stream_bf12 {row['locked_streaming_bf12']['ber']:.3e}")
+        per_seed.append(row)
 
-    out = {"frames_per_point": nf, "seed": args.seed,
+      # aggregate the independent captures: BER/FER are per-capture rates
+      # over identical-size captures, so the aggregate rate is the mean;
+      # event counters and wall time sum.  Per-seed BERs are kept so the
+      # spread (which swamped single-capture comparisons) stays visible.
+      MEAN, SUM = {"ber", "fer"}, {"decoded", "locks", "lock_drops",
+                                   "sync_misses", "reacquisitions",
+                                   "timing_refreshes", "wall_s"}
+      row = {"ebn0_db": db, "frames": nf * len(seeds), "captures": len(seeds)}
+      for key, ent in per_seed[0].items():
+          if not isinstance(ent, dict):
+              continue
+          agg = {}
+          for f in ent:
+              if f in MEAN:
+                  agg[f] = sum(pr[key][f] for pr in per_seed) / len(seeds)
+              elif f in SUM:
+                  agg[f] = round(sum(pr[key][f] for pr in per_seed), 2)
+              else:
+                  agg[f] = ent[f]
+          agg["ber_per_seed"] = [round(pr[key]["ber"], 6)
+                                 for pr in per_seed]
+          row[key] = agg
+      rows.append(row)
+      log(f"Eb/N0 {db:4.1f} dB ({len(seeds)} captures): "
+          f"ref BER {row['reference']['ber']:.3e} "
+          f"| tracking {row['tracking']['ber']:.3e} "
+          f"| locked {row['locked']['ber']:.3e} "
+          f"| int8 {row['locked_int8_agc']['ber']:.3e} "
+          f"| stream_bf4 {row['locked_streaming_bf4']['ber']:.3e} "
+          f"| stream_bf12 {row['locked_streaming_bf12']['ber']:.3e}")
+
+    out = {"frames_per_capture": nf, "seeds": seeds,
            "lead_noise_samples": args.lead,
            "alignment": "best single global shift; uncovered truth rows "
                         "count fully errored",

@@ -53,6 +53,26 @@ def main() -> int:
                          "channelize+stat+append program — on a degraded "
                          "tunnel where every enqueue costs ~an RTT this "
                          "is the wall-clock lever (26.6 -> 523.7 MS/s)")
+    ap.add_argument("--bursty", action="store_true",
+                    help="sparse/bursty traffic scenario (VERDICT r4 item "
+                         "7): each active channel transmits a staggered "
+                         "burst of --burst-frames then falls silent, so "
+                         "every cycle exercises lock formation, flywheel "
+                         "misses, lock drops, same-window re-hunts, and "
+                         "AGC lock-transition fetches — the expensive "
+                         "paths the steady-state row never touches.  The "
+                         "artifact row carries the per-program block "
+                         "attribution (stats()).")
+    ap.add_argument("--burst-frames", type=int, default=6)
+    ap.add_argument("--gap-frames", type=int, default=6)
+    ap.add_argument("--snr-db", type=float, default=12.0,
+                    help="bursty scenario per-channel Eb/N0: AWGN at the "
+                         "wideband rate buries the channelizer's ~-60 dB "
+                         "adjacent-channel leakage (noise-free, a leaked "
+                         "replica is a scaled clean signal that passes the "
+                         "amplitude-blind sync gate and false-locks idle "
+                         "channels) and gives the idle channels real noise "
+                         "to AGC on, as a real band does")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -91,6 +111,11 @@ def main() -> int:
     # channelizer window (history + one quantum), so big --quantum-frames
     # runs need a longer cycle than the --frames default
     f = max(args.frames, 2 * args.quantum_frames)
+    if args.bursty:
+        # one full burst+gap period per cycle so every cycle replays the
+        # whole lock lifecycle on every active channel
+        f = max(f, args.burst_frames + args.gap_frames)
+        f = -(-f // args.quantum_frames) * args.quantum_frames
     f -= f % args.quantum_frames
     spf = CONFIG.samples_per_frame
     n_ch = f * spf                       # channel-rate samples per cycle
@@ -112,15 +137,72 @@ def main() -> int:
             * np.exp(2j * np.pi * np.asarray(active)[None, :] * u / k)
             ).sum(axis=1).astype(np.complex64)
 
+    # bursty scenario: per-channel frame-granular on/off envelopes,
+    # staggered so locks form and drop continuously across the cycle
+    env = None
+    if args.bursty:
+        env = np.zeros((len(active), f), np.float32)
+        for i in range(len(active)):
+            st = (i * max(1, f // len(active))) % f
+            for j in range(args.burst_frames):
+                env[i, (st + j) % f] = 1.0
+
     @jax.jit
     def synth(bits_dev):
+        # steady scenario: ZOH upsample x K + the precomputed mixer comb.
+        # The ZOH images leak onto neighboring channels, so per-channel
+        # decode counts are meaningless — fine for throughput (channelizer
+        # and engine cost are content-independent), NOT for the bursty
+        # lifecycle scenario, which uses the narrowband synth below.
         iq, _ = modulate_bits_fast(bits_dev, mod_reset())
         s = (iq[:, 0].astype(jnp.float32) +
              1j * iq[:, 1].astype(jnp.float32)).astype(jnp.complex64)
         up = jnp.repeat(s, k)            # ZOH to the wideband rate
         return up * jnp.tile(jnp.asarray(comb), n_wb // k)
 
-    wideband = synth(jnp.asarray(bits))
+    @jax.jit
+    def synth_bursty(bits_dev):
+        # TRUE-narrowband MSK synthesized directly AT the wideband rate
+        # (tx math with phase increments scaled 1/K — the test suite's
+        # msk_wideband, on device): no ZOH images, so idle channels are
+        # genuinely silent and the staggered burst envelopes drive real
+        # lock form/drop cycles on exactly the active channels.
+        from opv_tpu.tx.modulator import symbol_signs
+        st0 = mod_reset()
+        d1, d2, _, _ = symbol_signs(bits_dev, st0.t_xor, st0.b_n)
+        spsk = CONFIG.samples_per_symbol * k
+        period = 160 * k                 # n_wb = f*542*period/k*k: divides
+        phl = 2 * np.pi * np.arange(period) / period
+        sn = jnp.tile(jnp.asarray(np.sin(phl), jnp.float32),
+                      n_wb // period)
+        cs = jnp.tile(jnp.asarray(np.cos(phl), jnp.float32),
+                      n_wb // period)
+        a1 = jnp.repeat(d1.astype(jnp.float32), spsk)
+        a2 = jnp.repeat(d2.astype(jnp.float32), spsk)
+        base = ((a2 - a1) * sn + 1j * ((a2 + a1) * cs)
+                ).astype(jnp.complex64) * CONFIG.iq_amplitude
+        u = np.arange(k)
+        total = jnp.zeros(n_wb, jnp.complex64)
+        for i, c in enumerate(active):   # unrolled over the active few
+            tone = np.exp(1j * (2 * np.pi * c * u / k + ph[i])
+                          ).astype(np.complex64)
+            gate = jnp.repeat(jnp.asarray(env[i]), spf * k)
+            total = total + base * gate * jnp.tile(jnp.asarray(tone),
+                                                   n_wb // k)
+        # AWGN at the wideband rate; unit-passband polyphase branches put
+        # ~1/k of it in each channel (tests/test_wideband.py waterfall)
+        amp = CONFIG.iq_amplitude
+        snr_ch = 10 ** (args.snr_db / 10) / CONFIG.samples_per_symbol
+        sigma2 = k * amp * amp / snr_ch
+        import jax as _jax
+        kr, ki = _jax.random.split(_jax.random.PRNGKey(7))
+        noise = (_jax.random.normal(kr, (n_wb,), jnp.float32)
+                 + 1j * _jax.random.normal(ki, (n_wb,), jnp.float32)
+                 ) * np.sqrt(sigma2 / 2)
+        return total + noise.astype(jnp.complex64)
+
+    wideband = (synth_bursty if env is not None else synth)(
+        jnp.asarray(bits))
     jax.block_until_ready(wideband)
     log(f"wideband synthesized on-device: {n_wb} samples "
         f"({k} channels, {len(active)} active)")
@@ -159,6 +241,15 @@ def main() -> int:
 
     stats = rx.stats()
     res = {"platform": platform, "k": k, "active_channels": len(active),
+           "scenario": ("bursty" if args.bursty else "steady"),
+           **({"burst_frames": args.burst_frames,
+               "gap_frames": args.gap_frames,
+               "blocks_by_program": stats.get("blocks_by_program"),
+               "reacquire_dispatches": stats.get("reacquisitions"),
+               "timing_refreshes": stats.get("refreshes"),
+               "device_wait_ms_max": stats.get("device_wait_ms_max"),
+               "host_ms_max": stats.get("host_ms_max")}
+              if args.bursty else {}),
            "device_wait_ms_mean": stats.get("device_wait_ms_mean"),
            "host_ms_mean": stats.get("host_ms_mean"),
            "blocks_timed": stats.get("blocks"),
