@@ -985,9 +985,15 @@ class LockedStreamDemodulator:
         at the measured step, not the wire-full-scale default."""
         if not self._agc or self._stat_cnt == 0:
             return
-        # ONE batched fetch for both stat vectors (two serial np.asarray
-        # calls are two tunnel round trips)
-        ss, mx = self._get((self._stat_ss, self._stat_max))
+        # use the stat values piggybacked on the last block-result fetch
+        # when still current (no feed since); else ONE batched fetch for
+        # both vectors (two serial np.asarray calls are two round trips)
+        cache = getattr(self, "_agc_fetch", None)
+        if cache is not None and cache[2] == self._stat_cnt:
+            ss, mx = cache[0], cache[1]
+        else:
+            ss, mx = self._get((self._stat_ss, self._stat_max))
+        self._agc_fetch = None
         rms = np.sqrt(ss / self._stat_cnt)
         desired = np.minimum(mx, self._AGC_SIGMA * rms) * (1.0 / 127.0)
         desired = np.maximum(desired, 1e-6).astype(np.float32)  # silence
@@ -1098,8 +1104,17 @@ class LockedStreamDemodulator:
         # copy_to_host_async on every leaf before gathering, so the seven
         # arrays cross the link concurrently instead of as seven serial
         # round trips (the axon tunnel's RTT makes serial fetches the
-        # streaming driver's dominant host cost)
-        out = self._get(out)
+        # streaming driver's dominant host cost).  The tiny AGC stat
+        # vectors PIGGYBACK on the same fetch: lock-transition blocks
+        # trigger an AGC re-evaluation (sparse/bursty banks transition
+        # every block), and a separate stat fetch there was one whole
+        # extra tunnel round trip per block (WIDEBAND_r05 bursty row)
+        if self._agc:
+            out, ss_h, mx_h = self._get((out, self._stat_ss,
+                                         self._stat_max))
+            self._agc_fetch = (ss_h, mx_h, self._stat_cnt)
+        else:
+            out = self._get(out)
         if t_fetch is not None:
             self._fetch_ms += (time.monotonic() - t_fetch) * 1e3
         burst_only = out.get("burst_only")   # reacquire blocks only

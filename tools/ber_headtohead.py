@@ -61,6 +61,34 @@ def seq_stats(seq, truth):
     return best
 
 
+def tail_stats(seq, truth, skip: int):
+    """BER/FER of a decoded sequence restricted to truth frames >= skip,
+    at the full-sequence best alignment — the STEADY-STATE view of a
+    causal streaming decoder whose first blocks ride a shallow timing
+    fold (the acquisition transient; see the artifact note)."""
+    n, fb = truth.shape
+    if len(seq) == 0:
+        return 1.0, 1.0
+    seq = np.asarray(seq, np.uint8)[:n]
+    tb = np.unpackbits(truth, axis=1)
+    sb = np.unpackbits(seq, axis=1)
+    best, bd = None, 0
+    for d in range(0, n - len(seq) + 1):
+        e = int((sb != tb[d:d + len(seq)]).sum())
+        if best is None or e < best:
+            best, bd = e, d
+    errs = (sb != tb[bd:bd + len(sb)])
+    # truth-frame index of decoded row i is bd + i
+    rows = np.arange(len(sb)) + bd
+    m = rows >= skip
+    covered = int(m.sum())
+    missing = (n - skip) - covered          # uncovered tail truth frames
+    be = int(errs[m].sum()) + max(missing, 0) * fb * 8
+    fe = int(errs[m].any(axis=1).sum()) + max(missing, 0)
+    total = (n - skip) * fb * 8
+    return be / total, fe / (n - skip)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ebn0", type=float, nargs="+",
@@ -224,8 +252,16 @@ def main() -> int:
                                for r in res]) \
                     if res else np.zeros((0, CONFIG.frame_bytes), np.uint8)
                 be, fe = seq_stats(st, truth)
+                # steady-state view: frames past the causal acquisition
+                # transient (the first ~100 frames ride a still-shallow
+                # timing fold; a long-running deployment spends ~0% of
+                # its life there).  The full-capture "ber" above charges
+                # the transient in full.
+                tber, tfer = tail_stats(st, truth, skip=nf // 2)
                 row[key] = {"ber": be / (truth.size * 8),
                             "fer": fe / nf, "decoded": len(st),
+                            "ber_steady_tail": tber,
+                            "fer_steady_tail": tfer,
                             "block_frames": bf, "dtype": dtype,
                             "reacquisitions": sd.reacquisitions,
                             "timing_refreshes": sd.refreshes,
@@ -237,7 +273,8 @@ def main() -> int:
       # over identical-size captures, so the aggregate rate is the mean;
       # event counters and wall time sum.  Per-seed BERs are kept so the
       # spread (which swamped single-capture comparisons) stays visible.
-      MEAN, SUM = {"ber", "fer"}, {"decoded", "locks", "lock_drops",
+      MEAN, SUM = {"ber", "fer", "ber_steady_tail",
+                   "fer_steady_tail"}, {"decoded", "locks", "lock_drops",
                                    "sync_misses", "reacquisitions",
                                    "timing_refreshes", "wall_s"}
       row = {"ebn0_db": db, "frames": nf * len(seeds), "captures": len(seeds)}
