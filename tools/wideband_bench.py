@@ -73,9 +73,24 @@ def main() -> int:
                          "amplitude-blind sync gate and false-locks idle "
                          "channels) and gives the idle channels real noise "
                          "to AGC on, as a real band does")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="run the receiver MULTI-CHIP: WidebandReceiver("
+                         "mesh=('ch'=N)) with the channelizer fused into "
+                         "the engine's shard_mapped ingest.  This sandbox "
+                         "exposes one real TPU, so N virtual CPU devices "
+                         "stand in (XLA_FLAGS) — wall-clock is shared-core "
+                         "and NOT a throughput number; the row records the "
+                         "geometry, sharding, and decode correctness of "
+                         "the compiled multi-chip programs")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
+    import os
+    if args.mesh:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   " --xla_force_host_platform_device_count"
+                                   f"={args.mesh}").strip()
+        args.cpu = True
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -209,9 +224,13 @@ def main() -> int:
 
     if args.block_frames % args.quantum_frames:
         raise SystemExit("--quantum-frames must divide --block-frames")
+    mesh = None
+    if args.mesh:
+        from opv_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh({"ch": args.mesh})
     rx = WidebandReceiver(k, block_frames=args.block_frames,
                           quantum_out=args.quantum_frames * spf,
-                          pipeline=args.pipeline, timing=True)
+                          pipeline=args.pipeline, timing=True, mesh=mesh)
     quantum = rx._quantum
     if n_wb < rx.window:
         raise SystemExit("cycle shorter than one channelizer window")
@@ -240,7 +259,20 @@ def main() -> int:
         f"{decoded} frames decoded in the timed window")
 
     stats = rx.stats()
+    mesh_info = None
+    if mesh is not None:
+        shard_shapes = sorted({tuple(sh.data.shape) for sh in
+                               rx.demod._buf.addressable_shards})
+        mesh_info = {"ch_axis": args.mesh,
+                     "engine_buffer_shard_rows": shard_shapes,
+                     "fused_ingest": "ONE shard_mapped program per steady "
+                                     "quantum: replicated wideband window "
+                                     "-> per-device polyphase legs x local "
+                                     "DFT-kernel columns -> local "
+                                     "stat+quantize+append",
+                     "virtual_cpu_mesh": platform == "cpu"}
     res = {"platform": platform, "k": k, "active_channels": len(active),
+           **({"mesh": mesh_info} if mesh_info else {}),
            "scenario": ("bursty" if args.bursty else "steady"),
            **({"burst_frames": args.burst_frames,
                "gap_frames": args.gap_frames,
