@@ -257,9 +257,22 @@ class LockedStreamDemodulator:
                 # feeds must reach device_put as HOST arrays (a
                 # single-device jax intermediate is not resharddable to a
                 # non-addressable sharding); every process feeds the
-                # identical full (C, n) chunk
+                # identical full (C, n) chunk.  A REPLICATED global array
+                # (e.g. the multiproc wideband receiver's channelizer
+                # output) is materialized from its local shard — which IS
+                # the full value for a replicated sharding.
                 put_g = self._put
-                self._put = lambda a: put_g(np.asarray(a))
+
+                def _mp_put(a):
+                    if (isinstance(a, jax.Array)
+                            and not a.is_fully_addressable):
+                        if not a.sharding.is_fully_replicated:
+                            raise ValueError(
+                                "multiprocess feed needs a host array or "
+                                "a replicated global array")
+                        a = np.asarray(a.addressable_shards[0].data)
+                    return put_g(np.asarray(a))
+                self._put = _mp_put
             else:
                 self._get = jax.device_get
 

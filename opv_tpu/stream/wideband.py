@@ -23,6 +23,8 @@ Engines:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from opv_tpu.config import CONFIG
@@ -86,11 +88,22 @@ class WidebandReceiver:
         # K polyphase legs), and replication is what lets the fused
         # shard_mapped ingest consume it with an unsharded in_spec.
         zeros = lambda: jnp.zeros(self.window, jnp.complex64)  # noqa: E731
+        self._put_wb = functools.partial(jnp.asarray, dtype=jnp.complex64)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
             self._zeros = jax.jit(zeros,
                                   out_shardings=NamedSharding(mesh, P()))
+            if any(d.process_index != jax.process_index()
+                   for d in mesh.devices.flat):
+                # mesh spans jax.distributed processes: feeds become
+                # REPLICATED global arrays (identical digitizer chunk on
+                # every host), so the fused shard_map and the general
+                # append/chan/slide path both see global operands — the
+                # inner engine handles its own multiprocess puts/fetches
+                repl = NamedSharding(mesh, P())
+                self._put_wb = (lambda a: jax.device_put(
+                    np.asarray(a, np.complex64), repl))
         else:
             self._zeros = jax.jit(zeros)
         self._buf = self._zeros()
@@ -203,7 +216,7 @@ class WidebandReceiver:
         (channel, frame_bytes, metric, sync_quality, abs_sample_pos) with
         positions in CHANNEL-rate samples."""
         jnp = self._jnp
-        x = jnp.asarray(wideband, jnp.complex64)
+        x = self._put_wb(wideband)
         out = []
         off = 0
         n = x.shape[0]

@@ -15,6 +15,8 @@ import pytest
 WORKER = pathlib.Path(__file__).parent / "helpers" / "multihost_worker.py"
 LOCKED_WORKER = (pathlib.Path(__file__).parent / "helpers"
                  / "multihost_locked_worker.py")
+WIDEBAND_WORKER = (pathlib.Path(__file__).parent / "helpers"
+                   / "multihost_wideband_worker.py")
 
 
 def _run_procs(nproc, port, local_devices, ch, worker=WORKER):
@@ -63,6 +65,22 @@ def test_two_process_locked_engine():
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"process {pid} failed:\n{out}\n{err[-3000:]}"
         assert f"MULTIHOST LOCKED OK pid={pid} ch=8 nproc=2" in out, \
+            f"process {pid} output:\n{out}\n{err[-2000:]}"
+
+
+@pytest.mark.slow
+def test_two_process_wideband():
+    """2 processes x 4 devices, ('ch'=8) mesh: the FLAGSHIP wideband
+    deployment across the process boundary — replicated digitizer feeds,
+    channelizer fused into the shard_mapped ingest ('ch'-sharded DFT
+    kernel), K-channel window buffer device-sharded across both hosts,
+    decoded frames bit-exact on every active channel (VERDICT r4 items
+    1+3 composed)."""
+    outs = _run_procs(nproc=2, port=52137, local_devices=4, ch=8,
+                      worker=WIDEBAND_WORKER)
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {pid} failed:\n{out}\n{err[-3000:]}"
+        assert f"MULTIHOST WIDEBAND OK pid={pid} k=8 nproc=2" in out, \
             f"process {pid} output:\n{out}\n{err[-2000:]}"
 
 
