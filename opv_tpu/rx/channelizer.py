@@ -136,6 +136,45 @@ def channelize(x: jnp.ndarray, k: int, taps_per_branch: int = 12) -> jnp.ndarray
     return channelize_cols(x, kern, k, taps_per_branch)
 
 
+def msk_wideband(frames_u8: np.ndarray, k: int) -> np.ndarray:
+    """Simulation helper: the OPV MSK waveform synthesized directly AT the
+    wideband rate (K x 2.168 MSPS) — identical math to tx/modulator.py's
+    fast path with phase increments scaled 1/K (period 160K samples,
+    40K samples/symbol), plus the standard 100-symbol zero flush.
+
+    True-narrowband by construction (no ZOH upsampling images), so
+    `synthesize_wideband` placements built from it leave quiet channels
+    genuinely quiet — the single source for the channelizer tests, the
+    multihost wideband worker, and the dryrun (was triplicated)."""
+    import jax.numpy as jnp
+
+    from opv_tpu.core import encode_frame
+    from opv_tpu.core.framing import frame_to_symbol_bits
+    from opv_tpu.tx.modulator import mod_reset, symbol_signs
+
+    from opv_tpu.config import CONFIG
+    enc = encode_frame(jnp.asarray(frames_u8))
+    bits = np.asarray(frame_to_symbol_bits(enc)).reshape(-1)
+    st = mod_reset()
+    d1, d2, _, _ = symbol_signs(jnp.asarray(bits), st.t_xor, st.b_n)
+    sps = CONFIG.samples_per_symbol * k
+    period = 160 * k
+    ph = 2 * np.pi * (np.arange(len(bits) * sps) % period) / period
+    a1 = np.repeat(np.asarray(d1, np.float64), sps)
+    a2 = np.repeat(np.asarray(d2, np.float64), sps)
+    sig = ((a2 - a1) * np.sin(ph) + 1j * (a2 + a1) * np.cos(ph)) \
+        * CONFIG.iq_amplitude
+    return np.concatenate([sig, np.zeros(100 * sps, np.complex128)])
+
+
+def wideband_test_channels(k: int) -> list:
+    """Two DISTINCT channel indices for wideband smoke signals at any K
+    (the naive {1 % k, (k//2) % k} picks collapse to one channel for
+    K <= 2, silently halving what a dryrun certifies)."""
+    idx = list(dict.fromkeys([1 % k, (k // 2) % k, 0, max(k - 1, 0)]))
+    return idx[: min(2, k)]
+
+
 def synthesize_wideband(channel_signals: dict, k: int, n: int) -> np.ndarray:
     """Simulation helper: place signals (already sampled at the WIDEBAND
     rate) on the channelizer grid by direct frequency shift and summation.

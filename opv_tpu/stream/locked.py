@@ -263,6 +263,8 @@ class LockedStreamDemodulator:
                 # the full value for a replicated sharding.
                 put_g = self._put
 
+                self._multiproc = True
+
                 def _mp_put(a):
                     if (isinstance(a, jax.Array)
                             and not a.is_fully_addressable):
@@ -522,8 +524,23 @@ class LockedStreamDemodulator:
         #: chunk-gate latency, opv-modem.cpp:875-961) — opv-modem --fast
         #: runs this mode (VERDICT r4 item 5).  Hunting/flywheel/refresh
         #: blocks fall back to the full-window gate (a re-hunt needs the
-        #: window's verification slack).
-        self._eager = bool(eager)
+        #: window's verification slack).  int8+AGC caveat: eager blocks
+        #: resolve one window-tail earlier in the FEED stream, so the AGC
+        #: cadence evaluates its level statistics over slightly different
+        #: windows than the window-gated driver — a step adoption sitting
+        #: exactly on the hysteresis band can flip, making tuples
+        #: value-identical-per-step but not guaranteed stream-identical
+        #: on the TPU int8 default (float buffers, e.g. the CPU serving
+        #: engine, are exactly identical — TestEager pins that).
+        #: eager engages only when a lock DROP inside an eager block is
+        #: impossible (a drop needs sync_miss_limit+1 misses and blocks
+        #: enter eager with miss == 0): the drop path's same-window
+        #: re-hunt on a partial window could otherwise miss a burst whose
+        #: sync fits the full window but not the eager extent, and that
+        #: frame would never be re-owned after the advance.  Serving uses
+        #: block_frames=1; larger-block engines silently keep the
+        #: window gate.
+        self._eager = bool(eager) and block_frames <= CONFIG.sync_miss_limit
         if eager and pipeline:
             raise ValueError("eager (low-latency) and pipeline "
                              "(throughput) modes are mutually exclusive")
@@ -559,8 +576,16 @@ class LockedStreamDemodulator:
         if samples.shape[0] != self.channels:
             raise ValueError(f"expected {self.channels} channels")
         ilv = samples.ndim == 3
-        x = self._put(jnp.asarray(samples) if ilv
-                      else jnp.asarray(samples, jnp.complex64))
+        if getattr(self, "_multiproc", False):
+            # host arrays go STRAIGHT to the global device_put — a local
+            # jnp.asarray intermediate would bounce the whole chunk
+            # host -> local device -> host before the real cross-process
+            # put (the transfer class the tunnel lore forbids)
+            x = self._put(np.asarray(samples) if ilv
+                          else np.asarray(samples, np.complex64))
+        else:
+            x = self._put(jnp.asarray(samples) if ilv
+                          else jnp.asarray(samples, jnp.complex64))
         # row-aligned fast path: stat accumulate + quantize + append in ONE
         # fused dispatch (ingest_c/ingest_p) when the chunk drops cleanly
         # into the current window.  Not taken before AGC priming (the first
@@ -578,7 +603,9 @@ class LockedStreamDemodulator:
                 self._stat_cnt += 2 * n
             self._count += n
             if self._count >= self.window:
-                return self._process()
+                out = self._process()
+                out.extend(self._eager_poll())
+                return out
             return self._eager_poll()
         if self._pend is not None:
             # sub-row carry from the previous feed: unify in the pairs
@@ -687,7 +714,9 @@ class LockedStreamDemodulator:
             self._stat_cnt += 2 * n
         self._count += n
         if self._count >= self.window:
-            return self._process()
+            out = self._process()
+            out.extend(self._eager_poll())
+            return out
         return self._eager_poll()
 
     def flush(self):

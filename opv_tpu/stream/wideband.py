@@ -277,7 +277,11 @@ class WidebandReceiver:
                 f"checkpoint window {buf.shape} does not match this "
                 f"receiver's geometry ({self.window},) — same k / "
                 f"taps_per_branch / quantum required")
-        self._buf = self._jnp.asarray(buf)
+        # _put_wb restores the mesh-replicated (or multiprocess-global)
+        # placement the constructor documents; plain asarray would leave a
+        # local single-device buffer that the fused shard_map cannot mix
+        # with non-addressable mesh operands
+        self._buf = self._put_wb(buf)
         self._count = int(tree["count"])
         self.demod.load_state_tree(tree["demod"])
 

@@ -42,38 +42,23 @@ def main() -> None:
                          process_id=pid)
     assert jax.device_count() == _LOCAL * nproc
 
-    import jax.numpy as jnp
-    from opv_tpu.config import CONFIG
-    from opv_tpu.core import build_bert_frame, encode_frame
-    from opv_tpu.core.framing import frame_to_symbol_bits
+    from opv_tpu.core import build_bert_frame
     from opv_tpu.parallel.mesh import make_mesh
-    from opv_tpu.rx.channelizer import synthesize_wideband
+    from opv_tpu.rx.channelizer import (msk_wideband, synthesize_wideband,
+                                        wideband_test_channels)
     from opv_tpu.stream.wideband import WidebandReceiver
-    from opv_tpu.tx.modulator import mod_reset, symbol_signs
 
     mesh = make_mesh({"ch": k})
     assert len({d.process_index for d in mesh.devices.flat}) == nproc
 
-    def msk_at_wideband_rate(frames_u8):
-        enc = encode_frame(jnp.asarray(frames_u8))
-        bits = np.asarray(frame_to_symbol_bits(enc)).reshape(-1)
-        st = mod_reset()
-        d1, d2, _, _ = symbol_signs(jnp.asarray(bits), st.t_xor, st.b_n)
-        sps = CONFIG.samples_per_symbol * k
-        ph = 2 * np.pi * (np.arange(len(bits) * sps) % (160 * k)) / (160 * k)
-        a1 = np.repeat(np.asarray(d1, np.float64), sps)
-        a2 = np.repeat(np.asarray(d2, np.float64), sps)
-        sig = ((a2 - a1) * np.sin(ph) + 1j * (a2 + a1) * np.cos(ph)) \
-            * CONFIG.iq_amplitude
-        return np.concatenate([sig, np.zeros(100 * sps, np.complex128)])
-
     nf = 3
-    active = {1 % k: "W5NYV", (k // 2) % k: "TEST"}
+    active = {c: call for c, call in zip(wideband_test_channels(k),
+                                         ["W5NYV", "TEST"])}
     sets, wb = {}, {}
     lead = np.zeros(2000 * k, np.complex128)
     for c, call in active.items():
         sets[c] = build_bert_frame(call, frame_num=np.arange(nf) + 3 * c)
-        wb[c] = np.concatenate([lead, msk_at_wideband_rate(sets[c])])
+        wb[c] = np.concatenate([lead, msk_wideband(sets[c], k)])
     x = synthesize_wideband(wb, k, max(map(len, wb.values())))
 
     rx = WidebandReceiver(k, block_frames=1, mesh=mesh)

@@ -14,22 +14,11 @@ from opv_tpu.tx.modulator import mod_reset, symbol_signs
 
 
 def msk_wideband(frames_u8: np.ndarray, k: int) -> np.ndarray:
-    """Synthesize the OPV MSK waveform directly at the wideband rate
-    (K x 2.168 MSPS): identical math to tx/modulator.py's fast path but with
-    phase increments scaled by 1/K (period 160K samples, 40K samples/symbol)."""
-    enc = encode_frame(jnp.asarray(frames_u8))
-    bits = np.asarray(frame_to_symbol_bits(enc)).reshape(-1)
-    st = mod_reset()
-    d1, d2, _, _ = symbol_signs(jnp.asarray(bits), st.t_xor, st.b_n)
-    sps = CONFIG.samples_per_symbol * k
-    period = 160 * k
-    n = len(bits) * sps
-    ph = 2 * np.pi * (np.arange(n) % period) / period
-    a1 = np.repeat(np.asarray(d1, np.float64), sps)
-    a2 = np.repeat(np.asarray(d2, np.float64), sps)
-    sig = ((a2 - a1) * np.sin(ph) + 1j * (a2 + a1) * np.cos(ph)) * CONFIG.iq_amplitude
-    flush = np.zeros(100 * sps, np.complex128)
-    return np.concatenate([sig, flush])
+    """Delegates to the library helper (opv_tpu.rx.channelizer): one source
+    of K-rate MSK synthesis for tests, the multihost worker, and the
+    dryrun."""
+    from opv_tpu.rx.channelizer import msk_wideband as _mw
+    return _mw(frames_u8, k)
 
 
 class TestPrototype:

@@ -371,6 +371,33 @@ class TestEager:
             LockedStreamDemodulator(1, block_frames=1, eager=True,
                                     pipeline=True)
 
+    def test_int8_agc_payloads_match(self):
+        """eager + the TPU production dtype (int8+AGC): eager blocks shift
+        the AGC cadence's stat windows (engine docstring caveat), so the
+        pinned contract is payload/position identity, not float tuples."""
+        s, _ = _signal(6)
+        x = np.concatenate([np.zeros(123, np.complex64), s])[None]
+
+        def run(eager):
+            sd = LockedStreamDemodulator(1, block_frames=1, dtype="int8",
+                                         eager=eager)
+            return _run(sd, x, chunk=SPF)
+
+        a, b = run(False), run(True)
+        assert ([(r[0], r[1], r[4]) for r in a]
+                == [(r[0], r[1], r[4]) for r in b]) and len(a) == 6
+
+    def test_big_block_engine_stays_window_gated(self):
+        """A lock drop INSIDE an eager block becomes possible at
+        block_frames > sync_miss_limit (the partial-window drop re-hunt
+        could then lose a tail burst the window-gated driver finds), so
+        eager silently disengages there — the constructor keeps the
+        window gate instead of risking the divergence."""
+        sd = LockedStreamDemodulator(1, block_frames=6, eager=True)
+        assert not sd._eager
+        sd = LockedStreamDemodulator(1, block_frames=5, eager=True)
+        assert sd._eager
+
 
 class TestDriftRefresh:
     @pytest.mark.parametrize("dtype", ["float32", "int8"])

@@ -290,7 +290,10 @@ def tpu_shard_cost(fractions, json_path=None, reps_inner: int = 6) -> int:
           f"{float(c_lin)*1e9:.2f} ns/sample; projected efficiency "
           f"{json.dumps(eff)}"
           + (f"; CPU-mesh c_fix was {cpu_fix*1e3:.0f} ms = "
-             f"{cpu_fix/float(c_fix):.0f}x this" if cpu_fix else ""),
+             f"{cpu_fix/float(c_fix):.0f}x this"
+             if cpu_fix and float(c_fix) > 0 else
+             f"; CPU-mesh c_fix was {cpu_fix*1e3:.0f} ms vs ~0 here"
+             if cpu_fix else ""),
           file=sys.stderr)
     s = json.dumps(out)
     if json_path:
