@@ -825,9 +825,18 @@ class LockedStreamDemodulator:
             # a DEEP accumulator outvotes a sign-confirmed big jump unless
             # the deep estimate leans the same way (real drift drags the
             # accumulated apex along; two same-sign waterfall argmax
-            # outliers do not)
+            # outliers do not).  "Leans" means MAGNITUDE, not just sign:
+            # with no drift, est_acc - cur is ~0 +- estimator noise and
+            # its sign is a coin flip, so a sign-only veto let ~half of
+            # the noise double-outliers through — measured at 7 dB bf=12
+            # (seed-44 trace): an adoption at w=6 reseeded the deep
+            # accumulator and yanked the grid 5 samples off truth for
+            # several blocks.  Real drift strong enough to produce two
+            # consecutive TRUST-sized jumps drags the accumulated apex
+            # well past half a trust radius by the confirmation block.
             deep = self._fold_ok & (self._fold_w >= self._FOLD_DEEP)
-            agree = np.sign(est_acc0 - cur).astype(np.int8) == sgn
+            agree = ((np.sign(est_acc0 - cur).astype(np.int8) == sgn)
+                     & (np.abs(est_acc0 - cur) > 0.5 * self._TIMING_TRUST))
             adopt = retune & big & (sgn == self._big_dir) & (~deep | agree)
             hold = retune & big & ~adopt
             self._big_dir[hold] = sgn[hold]
@@ -840,9 +849,24 @@ class LockedStreamDemodulator:
             accum = retune & ~seed
             self._fold_acc[seed] = fold[seed]
             self._fold_w[seed] = 1.0
-            self._fold_acc[accum] = (self._FOLD_DECAY
+            # grow-into-EMA accumulation: uniform running sum (decay 1)
+            # until the weight reaches the EMA's steady-state depth
+            # 1/(1-D), then the fixed-decay EMA.  A fixed decay from the
+            # start down-weights the early windows while the estimate is
+            # still converging, so the applied grid keeps chasing
+            # single-window estimator noise — measured at the 7 dB
+            # waterfall (5x200-frame captures, bf=4): steady-tail BER
+            # 4.55e-2 fixed-decay vs 4.21e-2 with the grid pinned to the
+            # batch estimate (the whole streaming-vs-batch steady gap was
+            # this wobble); the hybrid recovers most of it.  Finite
+            # memory (the EMA cap) is kept so ppm-scale drift can still
+            # drag the accumulated apex (test_locked_stream drift tests).
+            d_eff = np.where(
+                self._fold_w < 1.0 / (1.0 - self._FOLD_DECAY) - 1.0,
+                1.0, self._FOLD_DECAY)
+            self._fold_acc[accum] = (d_eff[accum, None]
                                      * self._fold_acc[accum] + fold[accum])
-            self._fold_w[accum] = self._FOLD_DECAY * self._fold_w[accum] + 1
+            self._fold_w[accum] = d_eff[accum] * self._fold_w[accum] + 1
             self._fold_ok |= retune
             est_acc = (self.p0 - half).astype(np.float64) \
                 + self._fold_est_np(self._fold_acc)
