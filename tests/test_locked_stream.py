@@ -435,6 +435,63 @@ class TestDriftRefresh:
         assert sd.refreshes >= 2
 
 
+class TestAdoptionGate:
+    def test_deep_accumulator_vetoes_noise_double_outliers(self):
+        """Two consecutive same-sign trust-sized retime outliers must NOT
+        be adopted when the deep fold accumulator does not corroborate the
+        move in MAGNITUDE (stream/locked.py `agree`): with no real drift
+        the deep-vs-current offset is ~0 and its sign is a coin flip, so a
+        sign-only veto let ~half of noise double-outliers reseed the
+        accumulator and yank the grid (measured +5-sample excursions at
+        7 dB bf=12).  Crafted retime outputs are injected in place of the
+        device program; the accumulator is first warmed on clean signal.
+        Also pins grow-into-EMA accumulation: below the EMA cap the
+        weight grows by exactly 1 per accumulated window."""
+        nf = 60
+        s, _ = _signal(nf)
+        x = s[None, :]
+        sd = LockedStreamDemodulator(1, block_frames=4, dtype="float32")
+        sd._WARM_METRIC_MIN = -1.0      # retime every block regardless
+        step = 4 * SPF
+        off = 0
+        while sd._fold_w[0] < sd._FOLD_DEEP + 2:
+            assert off + step <= x.shape[1], "ran out of signal warming up"
+            sd.feed(x[:, off:off + step])
+            off += step
+        w0 = float(sd._fold_w[0])
+        # uniform (grow-into-EMA) phase: integer weight, one per window
+        assert abs(w0 - round(w0)) < 1e-9 and w0 >= sd._FOLD_DEEP
+
+        # nudge the carried grid a fraction of a sample off the deep
+        # estimate so the deep-vs-current sign is KNOWN (this is the case
+        # a sign-only veto gets wrong half the time)
+        nudge = -0.3 if sd.frac[0] >= 0.35 else 0.3
+        sd.frac[0] += nudge
+        outlier = np.int32(5 if nudge < 0 else -5)   # same sign as
+        grid0 = (sd._abs_base + sd.p0[0] + sd.frac[0]) % SPF  # est_acc-cur
+
+        fold_avg = (sd._fold_acc
+                    / np.maximum(sd._fold_w[:, None], 1e-9)).copy()
+
+        def fake_retime(buf, p, f, sc):
+            return (np.full(1, outlier, np.int32),
+                    sd.frac.astype(np.float32).copy(), fold_avg.copy())
+
+        sd._retime = fake_retime
+        for _ in range(2):                # outlier + same-sign confirmation
+            sd.refresh[:] = True
+            assert off + step <= x.shape[1]
+            sd.feed(x[:, off:off + step])
+            off += step
+        # no adoption: the accumulator was never reseeded (weight kept
+        # growing) and the grid held within a sample of where it was
+        assert sd._fold_w[0] == pytest.approx(w0 + 2), \
+            f"accumulator reseeded: w {w0} -> {sd._fold_w[0]}"
+        grid = (sd._abs_base + sd.p0[0] + sd.frac[0]) % SPF
+        drift = (grid - grid0 + SPF / 2) % SPF - SPF / 2
+        assert abs(drift) <= 1.0, f"grid moved {drift} samples"
+
+
 class TestBufferDtype:
     def test_bf16_buffer_and_int16_feed_decode_identically(self):
         """The bf16 buffer (TPU production default: XLA demotes the f32
