@@ -102,8 +102,9 @@ class LockedStreamDemodulator:
     _EMA_ALPHA = 0.1
     #: timing-refresh blending: a retime estimate within this many samples
     #: of the carried grid is noise-regime — its FOLD is accumulated into a
-    #: per-channel EMA of the folded sync-correlation segment itself
-    #: (decay below), and the grid re-estimates from the accumulated fold:
+    #: per-channel grow-into-EMA running sum of the folded sync-correlation
+    #: segment itself (uniform until the EMA depth, then decay below; see
+    #: _run_block), and the grid re-estimates from the accumulated fold:
     #: averaging the sufficient statistic instead of the noisy per-window
     #: argmax estimates deepens the effective fold ~(1+d)/(1-d) x the
     #: window depth and is robust to the waterfall's occasional multi-
@@ -113,7 +114,9 @@ class LockedStreamDemodulator:
     #: refresh) OR a waterfall argmax outlier — drift is persistent block
     #: to block while outliers are not, so the jump is adopted only when
     #: two consecutive retimes propose a drift-sized move the SAME WAY
-    #: (_big_dir); on adoption the accumulator resets to the fresh fold.
+    #: (_big_dir) AND a deep accumulator corroborates its magnitude (see
+    #: `agree` in _run_block); on adoption the accumulator resets to the
+    #: fresh fold.
     _TIMING_TRUST = 2.0
     #: 0.97 ~ 33-window memory: x4 fold intervals per retime ~ the batch
     #: acquisition's 128-deep fold, which measures 0.05 samples from truth
