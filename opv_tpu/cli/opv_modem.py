@@ -128,8 +128,9 @@ def main(argv=None) -> int:
         float64 tracking loop (StreamingDemodulator).  --fast: the
         feed-forward locked-grid engine (stream/locked.py) behind the same
         (frame_bytes, metric, q, idx) result tuples — the production
-        serving path (the tracking loop sustains only ~0.5x real time on a
-        commodity CPU core, the locked engine ~80x; MODEM_r03.json).
+        serving path (MODEM_r05.json: --fast loopback cadence p50
+        46.4 ms at 6.88x real-time burst vs the exact engine's 58.4 ms
+        at 2.5x).
         block_frames=1 + eager=True minimize serving latency: eager mode
         emits a steady frame as soon as its sync+payload+one-symbol slack
         is buffered (~1 frame time of gate — the reference modem's own

@@ -363,11 +363,16 @@ def rx_locked(samples: jnp.ndarray, n_frames: int, freq_offset=None,
     # --- acquisition on the first TWO frame intervals ---
     # hunt_grid's verified earliest candidate (absolute thresholds + next-
     # frame re-check) needs one extra frame of correlation for the re-check.
-    # acquire_grid's relative rule ("first >= 0.9 x window max") is kept
-    # only as the fallback when nothing verifies (e.g. pure noise, where it
-    # reproduces the reference's false-lock-on-argmax behavior): under AWGN
-    # the first sync's raw peak can dip below 0.9 x a later sync's peak,
-    # which used to lock one full frame late and shift every decoded slot.
+    # When nothing verifies there are TWO fallbacks, in order: the deep-
+    # fold argmax over the whole refine span (below — 5 dB-class captures
+    # where single-window thresholds fail; on pure noise its arbitrary
+    # folded argmax false-locks just like the reference's argmax does,
+    # preserving the quirk's EFFECT though not its position), and — only
+    # when the capture is too short to fold (fcount < 2) — acquire_grid's
+    # relative rule ("first >= 0.9 x window max").  Both grid within the
+    # first frame interval; under AWGN the first sync's raw peak can dip
+    # below 0.9 x a later sync's peak, which with acquire_grid alone used
+    # to lock one full frame late and shift every decoded slot.
     acq_len = min(n, (2 * _FS + _SB + 2) * _SPS)
 
     def acquire(foff):

@@ -76,8 +76,10 @@ def main() -> None:
     assert local_rows == k // nproc, (local_rows, k, nproc)
 
     for c, expected in sets.items():
-        rows = sorted((p, np.frombuffer(fb, np.uint8))
-                      for cc, fb, m, q, p in out if cc == c and m <= 16)
+        rows = sorted(((p, np.frombuffer(fb, np.uint8))
+                       for cc, fb, m, q, p in out if cc == c and m <= 16),
+                      key=lambda t: t[0])
+        assert rows, f"pid {pid}: wideband channel {c} decoded nothing"
         got = np.stack([f for _, f in rows])
         assert np.array_equal(got, np.asarray(expected)), (
             f"pid {pid}: wideband channel {c} payload mismatch")

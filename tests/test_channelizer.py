@@ -6,19 +6,10 @@ import pytest
 import jax.numpy as jnp
 
 from opv_tpu.config import CONFIG
-from opv_tpu.core import build_bert_frame, encode_frame
-from opv_tpu.core.framing import frame_to_symbol_bits
-from opv_tpu.rx.channelizer import channelize, prototype_filter, synthesize_wideband
+from opv_tpu.core import build_bert_frame
+from opv_tpu.rx.channelizer import (channelize, msk_wideband,
+                                    prototype_filter, synthesize_wideband)
 from opv_tpu.rx.locked import rx_locked
-from opv_tpu.tx.modulator import mod_reset, symbol_signs
-
-
-def msk_wideband(frames_u8: np.ndarray, k: int) -> np.ndarray:
-    """Delegates to the library helper (opv_tpu.rx.channelizer): one source
-    of K-rate MSK synthesis for tests, the multihost worker, and the
-    dryrun."""
-    from opv_tpu.rx.channelizer import msk_wideband as _mw
-    return _mw(frames_u8, k)
 
 
 class TestPrototype:

@@ -45,7 +45,7 @@ class TestWidebandReceiver:
         for c, fb, metric, q, pos in res:
             per.setdefault(c, []).append((pos, np.frombuffer(fb, np.uint8), metric))
         for c, expected in sets.items():
-            lst = sorted(per.get(c, []))
+            lst = sorted(per.get(c, []), key=lambda t: t[0])
             assert len(lst) == 6, f"channel {c}: {len(lst)} frames"
             got = np.stack([f for _, f, _ in lst])
             np.testing.assert_array_equal(got, expected)
@@ -120,8 +120,9 @@ class TestWidebandReceiver:
         i8_pipe = run_q(dtype="int8", pipeline=True)
         assert i8_blk == i8_frame
         assert i8_pipe == i8_frame
-        got = sorted((pos, np.frombuffer(fb, np.uint8))
-                     for c, fb, m, q, pos in fast if c == 1 and m <= 16)
+        got = sorted(((pos, np.frombuffer(fb, np.uint8))
+                      for c, fb, m, q, pos in fast if c == 1 and m <= 16),
+                     key=lambda t: t[0])
         np.testing.assert_array_equal(np.stack([f for _, f in got]),
                                       np.asarray(frames))
 
@@ -203,8 +204,9 @@ class TestMeshWideband:
         assert got == ref
         # every active channel decoded its own frame set bit-exactly
         for c, expected in sets.items():
-            rows = sorted((p, np.frombuffer(fb, np.uint8))
-                          for cc, fb, m, q, p in got if cc == c and m <= 16)
+            rows = sorted(((p, np.frombuffer(fb, np.uint8))
+                           for cc, fb, m, q, p in got if cc == c and m <= 16),
+                          key=lambda t: t[0])
             np.testing.assert_array_equal(np.stack([f for _, f in rows]),
                                           np.asarray(expected))
         # the engine window buffer is one-channel-per-device sharded and
