@@ -55,8 +55,17 @@ _SB = CONFIG.sync_bits
 _EB = CONFIG.encoded_bits
 
 
-def dense_soft(samples: jnp.ndarray, freq_offset: jnp.ndarray) -> jnp.ndarray:
-    """(C, N) complex IQ -> (C, N-39) soft decision at every sample offset.
+def dense_soft(samples: jnp.ndarray, freq_offset: jnp.ndarray,
+               stride: int = 1) -> jnp.ndarray:
+    """(C, N) complex IQ -> soft decision at every `stride`-th sample offset.
+
+    stride=1 (default, the batch path): every offset, (C, N-39).
+    stride=2 (streaming re-hunt): EVEN offsets only — flat index u maps to
+    sample offset 2u, halving the einsum and every downstream dense pass.
+    Detection-safe for hunting because the MSK sync apex is a 2-sample
+    plateau (pairwise-equal adjacent offsets, CLAUDE.md DSP lore): one of
+    the two apex offsets is always on the even grid at full amplitude.
+    _SPS must be divisible by stride.
 
     soft[n] = |corr_f2[n]|^2 - |corr_f1[n]|^2 — the reference's non-coherent
     metric (opv-demod.cpp:264-268), densely evaluated.
@@ -97,7 +106,10 @@ def dense_soft(samples: jnp.ndarray, freq_offset: jnp.ndarray) -> jnp.ndarray:
         [jnp.concatenate([kr, ki], -1),                     # re rows
          jnp.concatenate([-ki, kr], -1)], axis=2            # im rows
     ).reshape(c, 2 * _SPS, _SPS, 8)                  # (C, 80, 40 phases, 8)
-    ab = jnp.einsum("cst,ctro->csro", sym_f, kern_f)        # (C, M+1, 40, 8)
+    if stride > 1:                       # keep phases 0, stride, 2*stride…
+        kern_f = kern_f[:, :, ::stride, :]
+    n_ph = _SPS // stride
+    ab = jnp.einsum("cst,ctro->csro", sym_f, kern_f)      # (C, M+1, ph, 8)
     a_re, b_re = ab[:, :-1, :, 0:2], ab[:, 1:, :, 2:4]
     a_im, b_im = ab[:, :-1, :, 4:6], ab[:, 1:, :, 6:8]
     phi = jnp.exp(-1j * incs * _SPS)[:, None, None, :]
@@ -106,26 +118,28 @@ def dense_soft(samples: jnp.ndarray, freq_offset: jnp.ndarray) -> jnp.ndarray:
     c_im = a_im + phi.real.astype(real_dt) * b_im + \
         phi.imag.astype(real_dt) * b_re
     p = c_re ** 2 + c_im ** 2
-    soft = (p[..., 1] - p[..., 0]).reshape(c, m2 * _SPS)    # index 40s + r
-    return soft[:, : n - _SPS + 1]
+    soft = (p[..., 1] - p[..., 0]).reshape(c, m2 * n_ph)    # u <-> 40s + r
+    return soft[:, : (n - _SPS) // stride + 1]
 
 
-def dense_sync(soft: jnp.ndarray):
-    """Dilated 24-tap sync correlation at every sample position.
+def dense_sync(soft: jnp.ndarray, stride: int = 1):
+    """Dilated 24-tap sync correlation at every dense soft position.
 
-    soft: (C, M).  Returns (raw, norm) of shape (C, M - 23*40): the sync
-    metric for a window of 24 soft symbols spaced 40 samples apart starting
-    at each position.
+    soft: (C, M) from dense_soft(..., stride=stride) — one value per
+    `stride` samples, so the 40-sample symbol spacing is 40/stride
+    positions.  Returns (raw, norm) of shape (C, M - 23*40/stride): the
+    sync metric for a window of 24 soft symbols starting at each position.
     """
+    dil = _SPS // stride
     pat = jnp.asarray(sync_pattern(), soft.dtype)[None, None, :]   # (1,1,24)
     x = soft[:, None, :]
     raw = jax.lax.conv_general_dilated(
         x, pat, window_strides=(1,), padding="VALID",
-        rhs_dilation=(_SPS,), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
+        rhs_dilation=(dil,), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
     ones = jnp.ones_like(pat)
     energy = jax.lax.conv_general_dilated(
         jnp.abs(x), ones, window_strides=(1,), padding="VALID",
-        rhs_dilation=(_SPS,), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
+        rhs_dilation=(dil,), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
     from opv_tpu.rx.sync import normalized_sync
     return raw, normalized_sync(raw, energy)
 

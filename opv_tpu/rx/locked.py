@@ -77,7 +77,7 @@ def acquire_grid(raw: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(jnp.where(near, window, -jnp.inf), axis=-1).astype(jnp.int32)
 
 
-def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray):
+def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray, stride: int = 1):
     """Earliest VERIFIED sync position over the WHOLE dense range.
 
     The reference's HUNTING state scans every symbol and locks at the first
@@ -99,18 +99,22 @@ def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray):
     frame WITHOUT taking the lock — reference semantics minus the
     false-lock flywheel cost (stream/locked.py single_frame_burst).
 
-    Returns ((C,) p0, (C,) found, (C,) p0_unverified, (C,) found_u).
-    Where a found mask is False, the matching p0 is meaningless (callers
-    keep their previous state; sync-quality gates reject frames).
+    Returns ((C,) p0, (C,) found, (C,) p0_unverified, (C,) found_u) with
+    p0 in SAMPLE units regardless of stride (raw/norm from
+    dense_soft/dense_sync at the same stride: position u <-> sample
+    stride*u).  Where a found mask is False, the matching p0 is
+    meaningless (callers keep their previous state; sync-quality gates
+    reject frames).
     """
     cand_u = (norm >= CONFIG.sync_hunt_norm_thresh) & \
              (raw >= CONFIG.sync_hunt_raw_thresh)
     # next-frame re-check, shifted gather-free: pad right then slice
     recheck = norm >= CONFIG.sync_locked_norm_thresh
-    spf = _FS * _SPS
-    nxt = jnp.pad(recheck, ((0, 0), (0, spf)))[:, spf:]
+    spf_u = _FS * _SPS // stride
+    nxt = jnp.pad(recheck, ((0, 0), (0, spf_u)))[:, spf_u:]
     cand = cand_u & nxt
     idx = jnp.arange(raw.shape[-1], dtype=jnp.int32)[None, :]
+    sym_u, half_u = _SPS // stride, _SPS // (2 * stride)
 
     def first_peak(c):
         found = c.any(axis=-1)
@@ -121,10 +125,10 @@ def hunt_grid(raw: jnp.ndarray, norm: jnp.ndarray):
         # (stream/locked.py): a grid that slipped backward by < half a
         # symbol still qualifies at the stale position, and a forward-only
         # window would return the stale p0 unchanged.
-        near = (idx >= first - _SPS // 2) & (idx < first + _SPS - _SPS // 2)
+        near = (idx >= first - half_u) & (idx < first + sym_u - half_u)
         p0 = jnp.argmax(jnp.where(near, raw, -jnp.inf),
                         axis=-1).astype(jnp.int32)
-        return p0, found
+        return p0 * stride, found
 
     p0, found = first_peak(cand)
     p0_u, found_u = first_peak(cand_u)
@@ -339,6 +343,68 @@ def rx_locked_reacquire(samples: jnp.ndarray, p0_old: jnp.ndarray,
     out["burst_only"] = burst_only
     out["frac"] = frac
     return out
+
+
+def rx_locked_hunt_strided(samples: jnp.ndarray, p0_old: jnp.ndarray,
+                           freq_offset_old: jnp.ndarray, keep: jnp.ndarray,
+                           stride: int = 2):
+    """Stage 1 of the SPLIT re-acquisition: the dense hunt at sample
+    stride `stride` (default 2 — detection-safe on the 2-sample MSK sync
+    apex plateau, and the dense soft+sync pass measured 9.5 vs 16.2 ms at
+    the 64-channel bf=4 geometry, PERF.md round-5 re-acquire floor).
+
+    Same candidate/merge semantics as rx_locked_reacquire's hunt section;
+    the sub-sample-accurate grid comes from the later stages'
+    full-resolution slab refine (rx_locked_reacquire_cfo +
+    refine_timing_locked + rx_locked_steady), which MUST run as SEPARATE
+    device programs: fusing the slab refine into the dense program hangs
+    the axon compiler (refine_timing_from_raw docstring).  Dispatches are
+    async, so the split costs no extra round trip — the driver fetches
+    only the final stage's outputs (plus this stage's burst_only flag
+    piggybacked into the same fetch).
+
+    Returns dict(p0 (C,) int32 SAMPLE units, acquired (C,) bool,
+    burst_only (C,) bool).
+    """
+    hunt_foff = jnp.where(keep, freq_offset_old,
+                          jnp.zeros_like(freq_offset_old))
+    soft_h = dense_soft(samples, hunt_foff, stride=stride)
+    raw, norm = dense_sync(soft_h, stride=stride)
+    p0_new, found, p0_u, found_u = hunt_grid(raw, norm, stride=stride)
+    burst_only = ~keep & ~found & found_u
+    p0 = jnp.where(keep | ~(found | found_u), p0_old,
+                   jnp.where(found, p0_new, p0_u))
+    acquired = ~keep & (found | found_u)
+    return dict(p0=p0.astype(jnp.int32), acquired=acquired,
+                burst_only=burst_only)
+
+
+def rx_locked_reacquire_cfo(samples: jnp.ndarray, p0: jnp.ndarray,
+                            freq_offset_old: jnp.ndarray,
+                            keep: jnp.ndarray) -> jnp.ndarray:
+    """Stage 2 of the SPLIT re-acquisition: the merged (C,) CFO at the
+    stage-1 grid — rx_locked_reacquire's CFO section verbatim (grid
+    estimate on one frame interval at p0, twice-refined feed-forward
+    bias correction, carried value for kept channels).
+
+    The split stages are deliberately DEVICE-PROGRAM SHAPES the axon
+    compiler is known to handle (stage 1 = the dense hunt, this stage =
+    the batch CFO estimators, stage 3 = the retime slab program, stage 4
+    = the steady body); fusing the slab refine into a dense program is
+    the known compiler hang, and novel fusions risk novel failures
+    (CLAUDE.md Mosaic lore).  The timing refine (stage 3,
+    refine_timing_locked at THIS refined CFO) differs deliberately from
+    the monolithic path, which reuses the hunt's own dense raw: stage 1
+    only computed that at stride 2, and a stride-2 fold would halve the
+    sub-sample estimator's resolution exactly where the acquisition
+    transient is most BER-sensitive.
+    """
+    from opv_tpu.rx.cfo import estimate_cfo_batch
+    seg = _slice_rows(samples, p0, _FS * _SPS)
+    cfo_new = estimate_cfo_batch(seg).astype(jnp.float32)
+    cfo_new = refine_cfo_locked(seg, jnp.zeros_like(p0), cfo_new)
+    cfo_new = refine_cfo_locked(seg, jnp.zeros_like(p0), cfo_new)
+    return jnp.where(keep, freq_offset_old, cfo_new)
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "estimate_cfo_flag"))

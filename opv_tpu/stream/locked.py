@@ -157,7 +157,7 @@ class LockedStreamDemodulator:
                  dtype: str = "auto", pipeline: bool = False,
                  agc: bool = True, mesh=None,
                  single_frame_burst: bool = True, timing: bool = False,
-                 eager: bool = False):
+                 eager: bool = False, hunt_stride: int = 2):
         """dtype: buffer element type for the (C, window/40, 80) window-row
         buffer — "float32", "bfloat16", "int8", or "auto" (int8 on TPU,
         else float32).  bf16 halves buffer HBM and the steady matmul's
@@ -218,12 +218,25 @@ class LockedStreamDemodulator:
         scalars, so sharded and single-device drivers emit IDENTICAL tuple
         streams (test_locked_stream.TestShardedLocked pins this).  Any
         extra mesh axes are unused (work replicates across them); channels
-        must divide the 'ch' axis size."""
+        must divide the 'ch' axis size.
+
+        hunt_stride: dense re-hunt stride in samples (default 2).  The
+        re-acquire then runs as THREE chained device programs — stride-2
+        dense hunt, full-resolution slab refine + CFO, steady decode body
+        — instead of one monolithic program: dispatches are async so the
+        chain still costs ONE result fetch, and the dense pass (the
+        dominant re-acquire cost, 16.2 -> 9.5 ms at the 64-channel bf=4
+        geometry, PERF.md round-5 floor) halves.  Detection-safe because
+        the MSK sync apex is a 2-sample plateau; the acquired grid's
+        sub-sample timing still comes from the full-resolution slab fold.
+        hunt_stride=1 keeps the monolithic single-program re-acquire
+        (TestSplitHunt pins clean-capture equivalence between the two)."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
-        from opv_tpu.rx.locked import (fold_est_np, rx_locked_reacquire,
+        from opv_tpu.rx.locked import (fold_est_np, rx_locked_hunt_strided,
+                                       rx_locked_reacquire,
                                        rx_locked_retime, rx_locked_steady)
 
         self._fold_est_np = fold_est_np
@@ -341,6 +354,7 @@ class LockedStreamDemodulator:
 
         self.channels = channels
         self.block_frames = block_frames
+        self.hunt_stride = hunt_stride
         spf = CONFIG.samples_per_frame
         self.spf = spf
         self.advance = block_frames * spf
@@ -480,7 +494,57 @@ class LockedStreamDemodulator:
         self._steady = jit_s(steady, (BUF, CH, CH, CH, CH), OUT)
         self._steady_x = jit_s(steady_x, (BUF, CH, CH, CH, CH), OUT)
         OUT_R = dict(OUT, burst_only=CH)   # reacquire adds the salvage flag
-        self._reacquire = jit_s(reacquire, (BUF, CH, CH, CH, CH, CH), OUT_R)
+        if hunt_stride > 1:
+            # split re-acquire: FOUR chained device programs (see the
+            # __init__ hunt_stride docstring) — stride-2 dense hunt, CFO,
+            # full-res slab refine, steady body.  Each stage is a program
+            # shape the axon compiler is known to handle; chaining happens
+            # device-to-device (async dispatches), so the host still pays
+            # exactly one result fetch per re-acquire.
+            assert CONFIG.samples_per_symbol % hunt_stride == 0
+            from opv_tpu.rx.locked import (refine_timing_locked,
+                                           rx_locked_reacquire_cfo)
+
+            def hunt2(buf, p0, foff, keep, scale):
+                return rx_locked_hunt_strided(_cplx(buf, scale), p0, foff,
+                                              keep, stride=hunt_stride)
+
+            def cfo2(buf, p0, foff, keep, scale):
+                return rx_locked_reacquire_cfo(_cplx(buf, scale), p0,
+                                               foff, keep)
+
+            def sref2(buf, p0, foff, scale):
+                p0r, frac_r, _fold = refine_timing_locked(
+                    _cplx(buf, scale), p0, foff, n_frames=bf)
+                return p0r, frac_r
+
+            def reacq_body(buf, p0, acq, p0r, frac_r, foff, scale, frac):
+                p0f = jnp.where(acq, p0r, p0)
+                fr = jnp.where(acq, frac_r, frac.astype(jnp.float32))
+                return globalize(rx_locked_steady(_cplx(buf, scale), p0f,
+                                                  foff, n_frames=bf,
+                                                  frac=fr))
+
+            HOUT = dict(p0=CH, acquired=CH, burst_only=CH)
+            h_prog = jit_s(hunt2, (BUF, CH, CH, CH, CH), HOUT)
+            c_prog = jit_s(cfo2, (BUF, CH, CH, CH, CH), CH)
+            s_prog = jit_s(sref2, (BUF, CH, CH, CH), (CH, CH))
+            b_prog = jit_s(reacq_body,
+                           (BUF, CH, CH, CH, CH, CH, CH, CH), OUT)
+
+            def reacquire_chain(buf, p0, foff, keep, scale, frac):
+                h = h_prog(buf, p0, foff, keep, scale)
+                f2 = c_prog(buf, h["p0"], foff, keep, scale)
+                p0r, frac_r = s_prog(buf, h["p0"], f2, scale)
+                out = dict(b_prog(buf, h["p0"], h["acquired"], p0r,
+                                  frac_r, f2, scale, frac))
+                out["burst_only"] = h["burst_only"]
+                return out
+
+            self._reacquire = reacquire_chain
+        else:
+            self._reacquire = jit_s(reacquire, (BUF, CH, CH, CH, CH, CH),
+                                    OUT_R)
         self._append = jit_s(append, (BUF, P(), PRS, CH), BUF,
                              donate_argnums=(0,))
         self._append_c = jit_s(append_c, (BUF, P(), CHN, CH), BUF,

@@ -435,6 +435,42 @@ class TestDriftRefresh:
         assert sd.refreshes >= 2
 
 
+class TestSplitHunt:
+    def test_split_equals_monolithic_on_true_frames(self):
+        """hunt_stride=2 (the default: stride-2 dense hunt + full-res slab
+        refine + body, three chained device programs) must recover exactly
+        the frames the monolithic hunt_stride=1 re-acquire does, at the
+        same positions, through a full lock-loss/re-acquire/CFO cycle.
+        Only the reference-faithful flywheel garbage emitted over the
+        noise gap may differ (its bits decode arbitrary noise at whatever
+        sub-sample frac each path refined)."""
+        rng = np.random.default_rng(1)
+        s1, f1 = _signal(6)
+        s2, f2 = _signal(6, start=100)
+        gap = (rng.standard_normal(8 * SPF) +
+               1j * rng.standard_normal(8 * SPF)).astype(np.complex64) * 50.
+        t = np.arange(len(s2))
+        s2 = (s2 * np.exp(2j * np.pi * 500.0 * t / CONFIG.sample_rate)
+              ).astype(np.complex64)
+        x = np.concatenate([s1, gap, s2])[None, :]
+        truth = ({bytes(r) for r in f1} | {bytes(r) for r in f2})
+
+        outs = {}
+        for hs in (1, 2):
+            sd = LockedStreamDemodulator(1, block_frames=4,
+                                         dtype="float32", hunt_stride=hs)
+            assert sd.hunt_stride == hs
+            outs[hs] = _run(sd, x, chunk=70_001)
+            assert sd.reacquisitions == 3
+        assert len(outs[1]) == len(outs[2])
+        for ra, rb in zip(outs[1], outs[2]):
+            assert ra[4] == rb[4]                  # same positions
+            if ra[1] in truth or rb[1] in truth:   # every real frame:
+                assert ra[1] == rb[1]              # identical bytes
+        n_true = sum(1 for r in outs[2] if r[1] in truth)
+        assert n_true == 12                        # all 12 recovered
+
+
 class TestAdoptionGate:
     def test_deep_accumulator_vetoes_noise_double_outliers(self):
         """Two consecutive same-sign trust-sized retime outliers must NOT
