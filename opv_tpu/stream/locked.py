@@ -157,7 +157,7 @@ class LockedStreamDemodulator:
                  dtype: str = "auto", pipeline: bool = False,
                  agc: bool = True, mesh=None,
                  single_frame_burst: bool = True, timing: bool = False,
-                 eager: bool = False, hunt_stride: int = 2):
+                 eager: bool = False, hunt_stride: int = 1):
         """dtype: buffer element type for the (C, window/40, 80) window-row
         buffer — "float32", "bfloat16", "int8", or "auto" (int8 on TPU,
         else float32).  bf16 halves buffer HBM and the steady matmul's
@@ -220,17 +220,21 @@ class LockedStreamDemodulator:
         extra mesh axes are unused (work replicates across them); channels
         must divide the 'ch' axis size.
 
-        hunt_stride: dense re-hunt stride in samples (default 2).  The
-        re-acquire then runs as THREE chained device programs — stride-2
-        dense hunt, full-resolution slab refine + CFO, steady decode body
-        — instead of one monolithic program: dispatches are async so the
-        chain still costs ONE result fetch, and the dense pass (the
-        dominant re-acquire cost, 16.2 -> 9.5 ms at the 64-channel bf=4
-        geometry, PERF.md round-5 floor) halves.  Detection-safe because
-        the MSK sync apex is a 2-sample plateau; the acquired grid's
-        sub-sample timing still comes from the full-resolution slab fold.
-        hunt_stride=1 keeps the monolithic single-program re-acquire
-        (TestSplitHunt pins clean-capture equivalence between the two)."""
+        hunt_stride: dense re-hunt stride in samples (default 1 = ONE
+        monolithic re-acquire program, the production setting).
+        hunt_stride=2 runs the re-acquire as FOUR chained device programs
+        — stride-2 dense hunt (detection-safe on the 2-sample MSK sync
+        apex plateau), CFO, full-resolution slab refine, steady decode
+        body — halving the dense pass, the dominant re-acquire COMPUTE
+        (16.2 -> 9.5 ms at the 64-channel bf=4 geometry).  Measured
+        END-TO-END it is a NET LOSS on the tunnel-attached bursty
+        deployment (interleaved same-session A/B, PERF.md round-5:
+        0.66x vs 0.80x RT at bf=4 — four dispatches where enqueues cost,
+        plus slightly worse acquired grids that trigger extra warmup
+        retimes, 34 vs 25, each a fetch RTT), so it stays opt-in for
+        locally-attached hardware where dispatch is free and compute
+        dominates.  TestSplitHunt pins that both settings recover
+        identical true frames at identical positions."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding

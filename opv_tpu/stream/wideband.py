@@ -37,7 +37,8 @@ class WidebandReceiver:
     def __init__(self, k: int, block_frames: int = 4,
                  taps_per_branch: int = 12, engine: str = "locked",
                  quantum_out: int | None = None, pipeline: bool = False,
-                 dtype: str = "auto", timing: bool = False, mesh=None):
+                 dtype: str = "auto", timing: bool = False, mesh=None,
+                 hunt_stride: int = 1):
         """mesh: a jax.sharding.Mesh with a 'ch' axis — the MULTI-CHIP
         wideband deployment: the K-channel bank's locked engine shard_maps
         over 'ch' (stream/locked.py mesh mode) and the CHANNELIZER itself
@@ -114,7 +115,8 @@ class WidebandReceiver:
                                                  block_frames=block_frames,
                                                  pipeline=pipeline,
                                                  dtype=dtype, timing=timing,
-                                                 mesh=mesh)
+                                                 mesh=mesh,
+                                                 hunt_stride=hunt_stride)
         elif engine == "fast":
             if pipeline:
                 raise ValueError("pipeline=True requires engine='locked'")

@@ -437,10 +437,10 @@ class TestDriftRefresh:
 
 class TestSplitHunt:
     def test_split_equals_monolithic_on_true_frames(self):
-        """hunt_stride=2 (the default: stride-2 dense hunt + full-res slab
-        refine + body, three chained device programs) must recover exactly
-        the frames the monolithic hunt_stride=1 re-acquire does, at the
-        same positions, through a full lock-loss/re-acquire/CFO cycle.
+        """hunt_stride=2 (opt-in: stride-2 dense hunt + CFO + full-res
+        slab refine + body, four chained device programs) must recover
+        exactly the frames the monolithic hunt_stride=1 default does, at
+        the same positions, through a full lock-loss/re-acquire/CFO cycle.
         Only the reference-faithful flywheel garbage emitted over the
         noise gap may differ (its bits decode arbitrary noise at whatever
         sub-sample frac each path refined)."""

@@ -82,6 +82,11 @@ def main() -> int:
                          "and NOT a throughput number; the row records the "
                          "geometry, sharding, and decode correctness of "
                          "the compiled multi-chip programs")
+    ap.add_argument("--hunt-stride", type=int, default=1,
+                    help="dense re-hunt stride (stream/locked.py "
+                         "hunt_stride): 1 = monolithic single-program "
+                         "re-acquire (default), 2 = split four-program "
+                         "chain (opt-in; see PERF.md round-5 A/B)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -230,7 +235,8 @@ def main() -> int:
         mesh = make_mesh({"ch": args.mesh})
     rx = WidebandReceiver(k, block_frames=args.block_frames,
                           quantum_out=args.quantum_frames * spf,
-                          pipeline=args.pipeline, timing=True, mesh=mesh)
+                          pipeline=args.pipeline, timing=True, mesh=mesh,
+                          hunt_stride=args.hunt_stride)
     quantum = rx._quantum
     if n_wb < rx.window:
         raise SystemExit("cycle shorter than one channelizer window")
@@ -288,6 +294,7 @@ def main() -> int:
            "block_frames": args.block_frames,
            "quantum_frames": args.quantum_frames,
            "pipeline": bool(args.pipeline),
+           "hunt_stride": args.hunt_stride,
            "wideband_msps": round(msps, 2),
            "x_realtime": round(rt, 3),
            "frames_decoded_timed": int(decoded),
